@@ -1,0 +1,112 @@
+"""Synthetic dataset generators.
+
+No datasets ship with this environment (the reference mount is a bare README,
+SURVEY.md section 0), so the benchmark configs' "Stanford Bunny two-view"
+style problems (BASELINE.json configs[0]) are generated synthetically: a
+smooth closed surface ("blob", a spherical-harmonic-deformed sphere — a
+bunny-class object-scale shape), two transformed views, and correspondence
+sets with a planted ground-truth transform and a controlled outlier fraction.
+Deterministic given the seed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from saccot_tpu.utils import se3np
+
+
+def blob_cloud(rng: np.random.Generator, n_points: int = 4096, order: int = 4,
+               deform: float = 0.25) -> np.ndarray:
+    """Sample points on a randomly deformed unit sphere (smooth closed surface).
+
+    Radial field r(dir) = 1 + deform * sum_m a_m * cos(f_m . dir + phase_m)
+    with low-frequency f — a cheap stand-in for an object-scale scan target.
+    """
+    dirs = rng.normal(size=(n_points, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    r = np.ones(n_points)
+    for _ in range(order):
+        f = rng.normal(scale=2.0, size=3)
+        a = rng.uniform(0.3, 1.0) / order
+        phase = rng.uniform(0, 2 * np.pi)
+        r += deform * a * np.cos(dirs @ f + phase)
+    return dirs * r[:, None]
+
+
+def correspondence_problem(
+    seed: int = 0,
+    n: int = 1000,
+    outlier_ratio: float = 0.5,
+    noise: float = 0.005,
+    n_points: int = 4096,
+    max_angle: float = np.pi / 2,
+    max_trans: float = 1.0,
+) -> Dict[str, np.ndarray]:
+    """Planted registration problem at the correspondence level.
+
+    Mirrors what the reference's L3 matcher hands to its estimator
+    (SURVEY.md section 3.1): N putative correspondences of which a fraction
+    are true matches under the (hidden) rigid T_gt and the rest are random
+    mismatches. Returns P, Q [n,3] float32, T_gt [4,4], gt_inliers [n] bool.
+    """
+    rng = np.random.default_rng(seed)
+    cloud = blob_cloud(rng, n_points)
+    T_gt = se3np.random_transform(rng, max_angle_rad=max_angle, max_trans=max_trans)
+
+    sel = rng.choice(n_points, size=n, replace=False)
+    P = cloud[sel]
+    Q = se3np.apply_T(T_gt, P) + rng.normal(scale=noise, size=(n, 3))
+
+    n_out = int(round(n * outlier_ratio))
+    out_idx = rng.choice(n, size=n_out, replace=False)
+    gt_inliers = np.ones(n, dtype=bool)
+    gt_inliers[out_idx] = False
+    # Mismatches: pair P[i] with the transform of some *other* random surface
+    # point, i.e. a wrong but plausible target location.
+    wrong = cloud[rng.choice(n_points, size=n_out)]
+    Q[out_idx] = se3np.apply_T(T_gt, wrong) + rng.normal(scale=noise, size=(n_out, 3))
+
+    return dict(
+        P=P.astype(np.float32),
+        Q=Q.astype(np.float32),
+        T_gt=T_gt,
+        gt_inliers=gt_inliers,
+    )
+
+
+def two_view_pair(
+    seed: int = 0,
+    n_points: int = 8192,
+    overlap: float = 0.7,
+    noise: float = 0.003,
+    max_angle: float = np.pi / 3,
+    max_trans: float = 0.5,
+) -> Dict[str, np.ndarray]:
+    """Two partially overlapping views of one blob surface, for the full
+    keypoint->descriptor->match->register pipeline (BASELINE.json configs[0]).
+
+    The source view keeps points with dir . axis > -overlap_cos; the target
+    view keeps the complementary-but-overlapping half, transformed by T_gt
+    (target = T_gt * source frame), each with independent sensor noise.
+    """
+    rng = np.random.default_rng(seed)
+    cloud = blob_cloud(rng, n_points * 2)
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    d = (cloud / np.linalg.norm(cloud, axis=1, keepdims=True)) @ axis
+    # Symmetric overlapping bands: each view keeps `overlap + (1-overlap)/2`
+    # of the surface, sharing an `overlap` fraction in the middle.
+    src = cloud[d > np.quantile(d, 0.5 - overlap / 2)][:n_points]
+    tgt_world = cloud[d < np.quantile(d, 0.5 + overlap / 2)][:n_points]
+
+    T_gt = se3np.random_transform(rng, max_angle_rad=max_angle, max_trans=max_trans)
+    src_noisy = src + rng.normal(scale=noise, size=src.shape)
+    tgt = se3np.apply_T(T_gt, tgt_world) + rng.normal(scale=noise, size=tgt_world.shape)
+    return dict(
+        source=src_noisy.astype(np.float32),
+        target=tgt.astype(np.float32),
+        T_gt=T_gt,
+    )
