@@ -1,0 +1,114 @@
+"""Headline benchmark: registration throughput, TPU engine vs CPU oracle.
+
+Prints ONE JSON line:
+  {"metric": "pairs_per_sec_per_chip", "value": <tpu pairs/s on one chip>,
+   "unit": "pairs/s", "vs_baseline": <tpu rate / CPU-oracle rate>}
+
+Problem setup mirrors the reference's operating point (SURVEY.md section 6 /
+BASELINE.md): N=1000 putative correspondences per pair at a 20% inlier rate
+(typical FPFH-class matching quality), object-scale thresholds. The CPU
+baseline is the NumPy oracle — the same exhaustive-enumeration SAC-COT the
+reference implements, vectorized (bitset clique intersection) so the
+comparison is honest. Target: >=10x (BASELINE.json:5).
+
+Extra diagnostics (recall, per-stage config, CPU rate) go to stderr; stdout
+carries exactly the one JSON line the driver parses.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from saccot_tpu.engine.sac_cot import register_batch
+    from saccot_tpu.io.synthetic import correspondence_problem
+    from saccot_tpu.oracle import sac_cot as oracle_sac_cot
+    from saccot_tpu.utils import se3np
+    from saccot_tpu.utils.params import SacCotParams
+
+    N = 1000
+    BATCH = 16
+    OUTLIER = 0.8
+    params = SacCotParams(
+        compat_tau=0.03,
+        min_separation=0.05,
+        inlier_tau=0.03,
+        num_anchors=256,
+        neighbors_per_anchor=16,
+        max_hypotheses=1024,
+        degree_block_rows=256,
+        score_block_k=256,
+    )
+    log(f"devices: {jax.devices()}")
+
+    probs = [
+        correspondence_problem(seed=1000 + s, n=N, outlier_ratio=OUTLIER, noise=0.004)
+        for s in range(BATCH)
+    ]
+    P_all = jnp.stack([jnp.asarray(p["P"]) for p in probs])
+    Q_all = jnp.stack([jnp.asarray(p["Q"]) for p in probs])
+
+    fn = jax.jit(lambda a, b: register_batch(a, b, params))
+    t0 = time.time()
+    res = fn(P_all, Q_all)
+    jax.block_until_ready(res.T)
+    log(f"compile+first batch: {time.time() - t0:.1f}s")
+
+    # Quality check on the same run (recall at 5 deg / 5% scene scale).
+    # NOTE: transfer whole arrays once — per-element indexing of a device
+    # array creates one tiny XLA program per index, which is pathologically
+    # slow through this environment's remote-compile tunnel.
+    T_all = np.asarray(res.T, np.float64)
+    ok = 0
+    for b, p in enumerate(probs):
+        E = T_all[b] @ np.linalg.inv(p["T_gt"])
+        if se3np.rotation_angle_deg(E[:3, :3]) < 5.0 and np.linalg.norm(E[:3, 3]) < 0.05:
+            ok += 1
+    recall = ok / BATCH
+    log(f"recall on planted problems: {recall:.2f}")
+
+    # Steady-state throughput: repeat timed batches.
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        res = fn(P_all, Q_all)
+    jax.block_until_ready(res.T)
+    dt = time.time() - t0
+    tpu_rate = BATCH * reps / dt
+    log(f"tpu: {BATCH * reps} pairs in {dt:.2f}s -> {tpu_rate:.2f} pairs/s/chip")
+
+    # CPU oracle baseline on the identical problems (subset for time).
+    n_cpu = 3
+    t0 = time.time()
+    for s in range(n_cpu):
+        oracle_sac_cot(probs[s]["P"], probs[s]["Q"], params)
+    cpu_dt = time.time() - t0
+    cpu_rate = n_cpu / cpu_dt
+    log(f"cpu oracle: {n_cpu} pairs in {cpu_dt:.2f}s -> {cpu_rate:.3f} pairs/s")
+
+    print(
+        json.dumps(
+            {
+                "metric": "pairs_per_sec_per_chip",
+                "value": round(tpu_rate, 3),
+                "unit": "pairs/s",
+                "vs_baseline": round(tpu_rate / cpu_rate, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,12 +1,23 @@
-"""Rigidity-compatibility matrix — XLA (jnp) reference path.
+"""Rigidity-compatibility graph — XLA (jnp) compute path.
 
 Replaces the reference's O(N^2) CPU pair test + adjacency list
-(SURVEY.md section 2.1, "Compatibility graph") with a dense matrix compute
-that XLA maps onto the MXU: both intra-cloud distance matrices come from
-Gram matrices (one batched matmul each), the rigidity test and score are
-fused elementwise on the VPU. `saccot_tpu.kernels.compat` provides the
-Pallas-fused and blockwise/ring variants for large N; this module is the
-semantic reference they are tested against.
+(SURVEY.md section 2.1, "Compatibility graph") with MXU matmuls: both
+intra-cloud distance matrices come from Gram matrices, the rigidity test and
+score fuse elementwise on the VPU.
+
+Key TPU-first design decision: the dense N x N score matrix is **never
+materialized in the hot path**. The estimator only ever consumes two
+reductions of it — per-node weighted degrees (row sums, for anchor
+selection) and the A anchor rows (for neighbor selection) — and both are
+computed blockwise straight from the 3-D points. This beats the reference's
+adjacency-list structure *and* the ring-attention-style matrix streaming
+sketched in SURVEY.md section 5: since every matrix entry is a function of
+six floats of point data, a device can compute any block locally after one
+tiny [N, 3] point all-gather; ICI traffic is O(N), not O(N^2 / d).
+
+`compat_matrix` (dense) remains as the semantic reference for tests and for
+small-N debugging; `saccot_tpu.kernels.compat` holds the Pallas-fused
+variant of the blockwise degree kernel.
 """
 
 from __future__ import annotations
@@ -15,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from saccot_tpu.utils.params import SacCotParams
 
@@ -59,3 +71,106 @@ def compat_matrix(
         m = mask.astype(S.dtype)
         S = S * m[..., :, None] * m[..., None, :]
     return S
+
+
+def score_block(
+    P_rows: jnp.ndarray,
+    Q_rows: jnp.ndarray,
+    P_cols: jnp.ndarray,
+    Q_cols: jnp.ndarray,
+    params: SacCotParams,
+    row_ids: Optional[jnp.ndarray] = None,
+    col_ids: Optional[jnp.ndarray] = None,
+    mask_rows: Optional[jnp.ndarray] = None,
+    mask_cols: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Compatibility scores between a row block and a column block of nodes.
+
+    P_rows/Q_rows: [R, 3]; P_cols/Q_cols: [C, 3] -> scores [R, C].
+    row_ids/col_ids are the *global* correspondence indices of the blocks,
+    used to zero self-pairs (i == j); defaults assume both blocks start at 0.
+    """
+    dp = _cross_distances(P_rows, P_cols)
+    dq = _cross_distances(Q_rows, Q_cols)
+    delta = jnp.abs(dp - dq)
+    ok = (
+        (delta < params.compat_tau)
+        & (dp > params.min_separation)
+        & (dq > params.min_separation)
+    )
+    S = jnp.where(ok, 1.0 - delta / params.compat_tau, 0.0)
+    if row_ids is None:
+        row_ids = jnp.arange(P_rows.shape[0], dtype=jnp.int32)
+    if col_ids is None:
+        col_ids = jnp.arange(P_cols.shape[0], dtype=jnp.int32)
+    S = jnp.where(row_ids[:, None] == col_ids[None, :], 0.0, S)
+    if mask_rows is not None:
+        S = S * mask_rows.astype(S.dtype)[:, None]
+    if mask_cols is not None:
+        S = S * mask_cols.astype(S.dtype)[None, :]
+    return S
+
+
+def _cross_distances(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[R, 3] x [C, 3] -> Euclidean distances [R, C] (Gram trick, f32-exact)."""
+    a2 = jnp.sum(a * a, axis=-1)
+    b2 = jnp.sum(b * b, axis=-1)
+    g = jnp.einsum("ik,jk->ij", a, b, precision=jax.lax.Precision.HIGHEST)
+    return jnp.sqrt(jnp.maximum(a2[:, None] + b2[None, :] - 2.0 * g, 0.0))
+
+
+def degrees(
+    P_rows: jnp.ndarray,
+    Q_rows: jnp.ndarray,
+    P_cols: jnp.ndarray,
+    Q_cols: jnp.ndarray,
+    params: SacCotParams,
+    row_offset: int | jnp.ndarray = 0,
+    mask_rows: Optional[jnp.ndarray] = None,
+    mask_cols: Optional[jnp.ndarray] = None,
+    block_rows: int = 256,
+) -> jnp.ndarray:
+    """Weighted degree of each row node: deg_i = sum_j S[i, j], blockwise.
+
+    Streams row blocks of the (virtual) score matrix through VMEM-sized
+    [block_rows, C] tiles; peak memory is O(block_rows * C) regardless of R.
+    `row_offset` is the global index of P_rows[0] (nonzero under
+    correspondence-axis sharding, where each device owns a contiguous row
+    chunk of the virtual matrix).
+    """
+    R = P_rows.shape[0]
+    C = P_cols.shape[0]
+    nb = -(-R // block_rows)
+    Rpad = nb * block_rows
+    pad = Rpad - R
+
+    def pad_rows(x, fill=0.0):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1), constant_values=fill)
+
+    Pp, Qp = pad_rows(P_rows), pad_rows(Q_rows)
+    mr = jnp.ones((R,), jnp.float32) if mask_rows is None else mask_rows.astype(jnp.float32)
+    mrp = pad_rows(mr)
+    col_ids = jnp.arange(C, dtype=jnp.int32)
+
+    def body(_, blk):
+        pb, qb, mb, start = blk
+        row_ids = start + jnp.arange(block_rows, dtype=jnp.int32)
+        S = score_block(
+            pb, qb, P_cols, Q_cols, params,
+            row_ids=row_ids, col_ids=col_ids,
+            mask_rows=mb, mask_cols=mask_cols,
+        )
+        return None, jnp.sum(S, axis=-1)
+
+    starts = jnp.asarray(row_offset, jnp.int32) + jnp.arange(nb, dtype=jnp.int32) * block_rows
+    _, deg = lax.scan(
+        body,
+        None,
+        (
+            Pp.reshape(nb, block_rows, 3),
+            Qp.reshape(nb, block_rows, 3),
+            mrp.reshape(nb, block_rows),
+            starts,
+        ),
+    )
+    return deg.reshape(Rpad)[:R]

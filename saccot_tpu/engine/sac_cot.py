@@ -3,13 +3,25 @@
 This is the API centerpiece (SURVEY.md section 2.3): the TPU-native
 equivalent of the reference's `sac_cot(correspondences, params) -> T,
 inliers` entry point (SURVEY.md section 1.2, L4). One trace compiles the
-whole estimator — compatibility matrix, triangle ranking/sampling, batched
-3-point SVD, hypothesis scoring, argmax, and a branchless inlier re-fit —
-into a single XLA program with static shapes throughout.
+whole estimator — blockwise compatibility degrees, triangle
+ranking/sampling, batched 3-point SVD, hypothesis scoring, argmax, and a
+branchless inlier re-fit — into a single XLA program with static shapes
+throughout. The dense N x N compatibility matrix is never materialized (see
+engine/compat.py).
 
-Correspondences are taken as input (points P, Q plus a validity mask for
-padding), exactly like the reference's estimator layer: the upstream
-keypoint/descriptor/matching stages live in `saccot_tpu.features` and
+Two execution modes share this code path:
+
+- single-device / vmapped batch: `corr_axis=None`; P, Q are the full [N, 3]
+  correspondence arrays.
+- correspondence-axis sharded (SP, SURVEY.md section 2.2): called inside
+  `shard_map` with `corr_axis` naming the mesh axis; P, Q are each device's
+  [N/d, 3] shard. One [N, 3] point all-gather feeds the (replicated) pool
+  stage; degree rows, hypothesis scoring, and refinement stay sharded with
+  psum reductions. ICI traffic is O(N), never O(N^2).
+
+Correspondences are taken as input (points plus a validity mask for
+padding), exactly like the reference's estimator layer: upstream
+keypoint/descriptor/matching stages live in `saccot_tpu.features` /
 `saccot_tpu.match`, and external correspondences (e.g. FCGF-style learned
 features for the 3DMatch config) plug in directly.
 """
@@ -21,6 +33,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from saccot_tpu.engine import compat as compat_mod
 from saccot_tpu.engine import score as score_mod
@@ -33,8 +46,8 @@ class RegistrationResult(NamedTuple):
     R: jnp.ndarray            # [3, 3]
     t: jnp.ndarray            # [3]
     T: jnp.ndarray            # [4, 4]
-    inliers: jnp.ndarray      # [N] bool
-    num_inliers: jnp.ndarray  # int32 scalar
+    inliers: jnp.ndarray      # [N] bool (the local shard under corr_axis)
+    num_inliers: jnp.ndarray  # int32 scalar (global under corr_axis)
     best_score: jnp.ndarray   # float32 scalar (pre-refinement hypothesis score)
     num_valid_triangles: jnp.ndarray  # int32 scalar: valid entries in the pool
     success: jnp.ndarray      # bool scalar: at least one valid triangle existed
@@ -47,36 +60,61 @@ def _register_pair(
     params: SacCotParams,
     compat_impl: str,
     score_impl: str,
+    corr_axis: Optional[str] = None,
 ) -> RegistrationResult:
     P = P.astype(jnp.float32)
     Q = Q.astype(jnp.float32)
-    N = P.shape[0]
-    m = jnp.ones((N,), jnp.float32) if mask is None else mask.astype(jnp.float32)
+    N_local = P.shape[0]
+    m = jnp.ones((N_local,), jnp.float32) if mask is None else mask.astype(jnp.float32)
 
-    with jax.named_scope("saccot_compat"):
+    if corr_axis is not None:
+        # One tiny all-gather of raw points; everything quadratic stays sharded.
+        P_full = lax.all_gather(P, corr_axis, tiled=True)
+        Q_full = lax.all_gather(Q, corr_axis, tiled=True)
+        m_full = lax.all_gather(m, corr_axis, tiled=True)
+        row_offset = lax.axis_index(corr_axis) * N_local
+    else:
+        P_full, Q_full, m_full = P, Q, m
+        row_offset = 0
+
+    with jax.named_scope("saccot_degrees"):
         if compat_impl == "pallas":
-            from saccot_tpu.kernels.compat import compat_matrix_pallas
-            S = compat_matrix_pallas(P, Q, params, mask=m)
+            from saccot_tpu.kernels.compat import degrees_pallas
+            deg_local = degrees_pallas(
+                P, Q, P_full, Q_full, params,
+                row_offset=row_offset, mask_rows=m, mask_cols=m_full,
+            )
         else:
-            S = compat_mod.compat_matrix(P, Q, params, mask=m)
+            deg_local = compat_mod.degrees(
+                P, Q, P_full, Q_full, params,
+                row_offset=row_offset, mask_rows=m, mask_cols=m_full,
+                block_rows=min(params.degree_block_rows, N_local),
+            )
+        deg_full = (
+            lax.all_gather(deg_local, corr_axis, tiled=True)
+            if corr_axis is not None
+            else deg_local
+        )
 
     with jax.named_scope("saccot_triangles"):
-        pool = tri_mod.triangle_pool(S, params, P, Q)
+        pool = tri_mod.triangle_pool_from_points(P_full, Q_full, deg_full, params, mask=m_full)
 
     with jax.named_scope("saccot_svd3"):
-        tp = P[pool.triples]  # [K, 3, 3]
-        tq = Q[pool.triples]
+        tp = P_full[pool.triples]  # [K, 3, 3]
+        tq = Q_full[pool.triples]
         R, t = umeyama(tp, tq)
 
     with jax.named_scope("saccot_score"):
         if score_impl == "pallas":
             from saccot_tpu.kernels.score import score_hypotheses_pallas
             scores, counts = score_hypotheses_pallas(
-                R, t, P, Q, params.inlier_tau, mask=m, mode=params.scoring
+                R, t, P, Q, params.inlier_tau, mask=m, mode=params.scoring,
+                axis_name=corr_axis,
             )
         else:
             scores, counts = score_mod.score_hypotheses(
-                R, t, P, Q, params.inlier_tau, mask=m, mode=params.scoring
+                R, t, P, Q, params.inlier_tau, mask=m, mode=params.scoring,
+                block_k=params.score_block_k, axis_name=corr_axis,
             )
         scores = jnp.where(pool.valid, scores, -1.0)
         best = jnp.argmax(scores)
@@ -88,7 +126,9 @@ def _register_pair(
         for _ in range(params.refine_iters):
             w = inl.astype(jnp.float32) * m
             n = jnp.sum(w)
-            Rf, tf = umeyama(P, Q, w=w)
+            if corr_axis is not None:
+                n = lax.psum(n, corr_axis)
+            Rf, tf = umeyama(P, Q, w=w, axis_name=corr_axis)
             # Branchless guard: keep the previous fit when <3 inliers.
             keep = n >= 3.0
             Rb = jnp.where(keep, Rf, Rb)
@@ -100,12 +140,15 @@ def _register_pair(
     Rb = jnp.where(success, Rb, eye)
     tb = jnp.where(success, tb, jnp.zeros((3,), jnp.float32))
     inl = inl & success
+    n_inl = jnp.sum(inl).astype(jnp.int32)
+    if corr_axis is not None:
+        n_inl = lax.psum(n_inl, corr_axis)
     return RegistrationResult(
         R=Rb,
         t=tb,
         T=transform_from_rt(Rb, tb),
         inliers=inl,
-        num_inliers=jnp.sum(inl).astype(jnp.int32),
+        num_inliers=n_inl,
         best_score=best_score,
         num_valid_triangles=jnp.sum(pool.valid).astype(jnp.int32),
         success=success,
@@ -130,10 +173,31 @@ def register_pair(
         to row i of Q).
       params: static estimator configuration.
       mask: optional [N] validity mask for padded correspondences.
-      compat_impl / score_impl: "jnp" (pure-XLA reference path) or "pallas"
-        (fused TPU kernels).
+      compat_impl / score_impl: "jnp" (pure-XLA path) or "pallas" (fused
+        TPU kernels).
     """
     return _register_pair(P, Q, mask, params, compat_impl, score_impl)
+
+
+def register_pair_sp(
+    P_shard: jnp.ndarray,
+    Q_shard: jnp.ndarray,
+    params: SacCotParams,
+    corr_axis: str,
+    mask_shard: Optional[jnp.ndarray] = None,
+    compat_impl: str = "jnp",
+    score_impl: str = "jnp",
+) -> RegistrationResult:
+    """Correspondence-axis-sharded estimator body, for use inside shard_map.
+
+    Each device passes its [N/d, 3] shard; the returned `inliers` is the
+    local shard (stitch with out_specs P(corr_axis)); scalar fields are
+    replicated/global.
+    """
+    return _register_pair(
+        P_shard, Q_shard, mask_shard, params, compat_impl, score_impl,
+        corr_axis=corr_axis,
+    )
 
 
 def register_batch(

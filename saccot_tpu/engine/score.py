@@ -31,6 +31,7 @@ def score_hypotheses(
     mask: Optional[jnp.ndarray] = None,
     mode: str = "count",
     block_k: int = 256,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Score K rigid hypotheses against N correspondences.
 
@@ -41,6 +42,9 @@ def score_hypotheses(
       mask: optional [N] validity mask (padding).
       mode: "count" or "weighted".
       block_k: hypothesis-axis block size (memory bound, not semantics).
+      axis_name: if set, P/Q are this device's shard of the correspondence
+        axis; per-hypothesis partial sums are psum-reduced across the mesh
+        axis (the SP scoring path, SURVEY.md section 2.2).
 
     Returns:
       (scores [K] float32, counts [K] int32). For mode="count",
@@ -76,6 +80,9 @@ def score_hypotheses(
     _, (counts, weights) = lax.scan(body, None, (Rb, tb))
     counts = counts.reshape(Kpad)[:K]
     weights = weights.reshape(Kpad)[:K]
+    if axis_name is not None:
+        counts = lax.psum(counts, axis_name)
+        weights = lax.psum(weights, axis_name)
     scores = weights if mode == "weighted" else counts
     return scores.astype(jnp.float32), counts.astype(jnp.int32)
 

@@ -22,6 +22,7 @@ def umeyama(
     p: jnp.ndarray,
     q: jnp.ndarray,
     w: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Weighted rigid alignment, batched over leading dims.
 
@@ -32,6 +33,10 @@ def umeyama(
       q: [..., M, 3] target points.
       w: [..., M] nonnegative weights (default uniform). An all-zero weight
          row yields R=I-ish garbage-but-finite output, not NaN.
+      axis_name: if set (inside shard_map/pmap), the point axis M is sharded
+        across that mesh axis — all moment sums are psum-reduced so every
+        device gets the global fit. This is how the SP refinement path runs
+        (SURVEY.md section 2.2).
 
     Returns:
       R: [..., 3, 3] rotations, t: [..., 3] translations.
@@ -42,14 +47,20 @@ def umeyama(
         w = jnp.ones(p.shape[:-1], dtype=p.dtype)
     w = w.astype(p.dtype)
 
-    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)  # [..., 1]
-    pbar = jnp.sum(w[..., None] * p, axis=-2) / wsum  # [..., 3]
-    qbar = jnp.sum(w[..., None] * q, axis=-2) / wsum
+    def _reduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    wsum = _reduce(jnp.sum(w, axis=-1, keepdims=True))  # [..., 1]
+    wsum = jnp.maximum(wsum, 1e-9)
+    pbar = _reduce(jnp.sum(w[..., None] * p, axis=-2)) / wsum  # [..., 3]
+    qbar = _reduce(jnp.sum(w[..., None] * q, axis=-2)) / wsum
     pc = p - pbar[..., None, :]
     qc = q - qbar[..., None, :]
     # Weighted cross-covariance H = sum_i w_i pc_i qc_i^T  -> [..., 3, 3]
-    H = jnp.einsum(
-        "...m,...mi,...mj->...ij", w, pc, qc, precision=jax.lax.Precision.HIGHEST
+    H = _reduce(
+        jnp.einsum(
+            "...m,...mi,...mj->...ij", w, pc, qc, precision=jax.lax.Precision.HIGHEST
+        )
     )
 
     R = _procrustes_rotation(H)

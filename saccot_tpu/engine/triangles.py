@@ -8,8 +8,8 @@ shapes. This module implements the behaviorally-equivalent fixed-budget
 contract:
 
   1. anchors: the `num_anchors` nodes with the highest weighted degree
-     (degree = row-sum of the score matrix — well-connected correspondences
-     are overwhelmingly the true inliers);
+     (degree = row-sum of the virtual score matrix — well-connected
+     correspondences are overwhelmingly the true inliers);
   2. per anchor, its `neighbors_per_anchor` strongest edges (top-k by score);
   3. candidate triangles = anchor + every pair of its selected neighbors,
      scored s_ij + s_ik + s_jk and validated (all three edges present,
@@ -21,6 +21,11 @@ With num_anchors >= N and neighbors_per_anchor >= N-1 the candidate set is a
 superset of the exhaustive clique enumeration, so ranked truncation matches
 the oracle exactly — that regime is what the parity tests run. Production
 configs use budgets that keep the pool a few x max_hypotheses.
+
+The hot-path entry is `triangle_pool_from_points`, which consumes only the
+precomputed degrees plus raw points — the dense N x N score matrix is never
+built (see engine/compat.py module docstring). `triangle_pool` (from a dense
+S) remains for tests and small-N debugging.
 """
 
 from __future__ import annotations
@@ -32,6 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from saccot_tpu.engine import compat as compat_mod
 from saccot_tpu.utils.params import SacCotParams
 
 
@@ -48,11 +54,9 @@ def edge_scores_from_points(
     idx_b: jnp.ndarray,
     params: SacCotParams,
 ) -> jnp.ndarray:
-    """Compatibility score of edges (idx_a, idx_b) recomputed from raw points.
+    """Compatibility score of edges (idx_a, idx_b), gathering only point rows.
 
-    Shares the exact formula with `engine.compat.compat_matrix` but gathers
-    only the needed point rows — this is what the blockwise/large-N path
-    uses where the dense S matrix is never materialized.
+    Same formula as `compat.score_block` but elementwise over index arrays.
     """
     pa, pb = P[idx_a], P[idx_b]
     qa, qb = Q[idx_a], Q[idx_b]
@@ -63,8 +67,32 @@ def edge_scores_from_points(
         (delta < params.compat_tau)
         & (dp > params.min_separation)
         & (dq > params.min_separation)
+        & (idx_a != idx_b)
     )
     return jnp.where(ok, 1.0 - delta / params.compat_tau, 0.0)
+
+
+def triangle_pool_from_points(
+    P: jnp.ndarray,
+    Q: jnp.ndarray,
+    deg: jnp.ndarray,
+    params: SacCotParams,
+    mask: Optional[jnp.ndarray] = None,
+) -> TrianglePool:
+    """Hot-path pool builder: degrees + points in, ranked triangles out.
+
+    Anchor rows of the virtual score matrix are recomputed from points
+    ([A, N] — A x N work, not N^2), so nothing quadratic in N is ever
+    materialized here.
+    """
+    N = P.shape[0]
+    A = min(params.num_anchors, N)
+    _, anchors = lax.top_k(deg, A)
+    rows = compat_mod.score_block(
+        P[anchors], Q[anchors], P, Q, params,
+        row_ids=anchors, mask_cols=mask,
+    )  # [A, N]
+    return _pool_from_anchor_rows(anchors, rows, P, Q, params)
 
 
 def triangle_pool(
@@ -73,21 +101,28 @@ def triangle_pool(
     P: Optional[jnp.ndarray] = None,
     Q: Optional[jnp.ndarray] = None,
 ) -> TrianglePool:
-    """Build the ranked triangle pool from a dense score matrix S [N, N].
-
-    If P/Q are given, the neighbor-neighbor edge score s_jk is recomputed
-    from points (gathering 3-vectors instead of S entries); otherwise it is
-    gathered from S. Both are exact.
-    """
+    """Pool builder from a dense score matrix S [N, N] (test/debug path)."""
     N = S.shape[-1]
     A = min(params.num_anchors, N)
+    deg = jnp.sum(S, axis=-1)
+    _, anchors = lax.top_k(deg, A)
+    rows = S[anchors]
+    return _pool_from_anchor_rows(anchors, rows, P, Q, params, S=S)
+
+
+def _pool_from_anchor_rows(
+    anchors: jnp.ndarray,   # [A] global node indices
+    rows: jnp.ndarray,      # [A, N] anchor rows of the score matrix
+    P: Optional[jnp.ndarray],
+    Q: Optional[jnp.ndarray],
+    params: SacCotParams,
+    S: Optional[jnp.ndarray] = None,
+) -> TrianglePool:
+    A, N = rows.shape
     B = min(params.neighbors_per_anchor, N - 1)
     K = params.max_hypotheses
 
-    deg = jnp.sum(S, axis=-1)  # weighted degree [N]
-    _, anchors = lax.top_k(deg, A)  # [A]
-    rows = S[anchors]  # [A, N]
-    nbr_s, nbr_idx = lax.top_k(rows, B)  # [A, B] scores + indices
+    nbr_s, nbr_idx = lax.top_k(rows, B)  # [A, B]
 
     # Static neighbor-pair template (b1 < b2).
     b1, b2 = np.triu_indices(B, k=1)
@@ -102,6 +137,7 @@ def triangle_pool(
     if P is not None and Q is not None:
         s_jk = edge_scores_from_points(P, Q, j, k, params)
     else:
+        assert S is not None, "need either points or the dense S"
         s_jk = S[j, k]
 
     score = s_ij + s_ik + s_jk

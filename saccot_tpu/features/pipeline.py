@@ -1,0 +1,177 @@
+"""Full registration pipeline: clouds in, transform out.
+
+The TPU-native equivalent of the reference's whole L1-L5 call stack
+(SURVEY.md section 3.1): voxel downsample -> normals -> ISS keypoints ->
+SHOT/FPFH descriptors -> GEMM+top-k matching -> SAC-COT estimation, all
+inside one jitted program with static shapes. Thresholds are expressed in
+mesh-resolution multiples (the paper's convention); the geometry is rescaled
+to resolution units inside the trace, so the estimator's static thresholds
+stay config constants even though the resolution is data-dependent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from saccot_tpu.engine.sac_cot import RegistrationResult, _register_pair
+from saccot_tpu.features.fpfh import fpfh_descriptors
+from saccot_tpu.features.iss import iss_keypoints, Keypoints
+from saccot_tpu.features.normals import estimate_normals
+from saccot_tpu.features.resolution import mesh_resolution
+from saccot_tpu.features.shot import shot_descriptors
+from saccot_tpu.features.voxel import voxel_downsample
+from saccot_tpu.match.topk import match_descriptors, mutual_filter, gather_correspondences
+from saccot_tpu.utils.params import SacCotParams
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static configuration of the cloud->transform pipeline.
+
+    All radii/thresholds are multiples of the source cloud's mesh
+    resolution `pr` unless `metric_scale` is set, in which case they are
+    multiples of that metric value (scene-scale datasets).
+    """
+
+    # preprocessing
+    voxel_mult: float = 0.0          # voxel size in pr units; 0 disables
+    max_cloud_points: int = 8192     # static budget after downsampling
+    normal_k: int = 16
+
+    # keypoints
+    iss_salient_mult: float = 4.0
+    iss_nms_mult: float = 3.0
+    iss_gamma21: float = 0.975
+    iss_gamma32: float = 0.975
+    max_keypoints: int = 1024
+
+    # descriptors
+    descriptor: str = "shot"         # "shot" | "fpfh"
+    descriptor_radius_mult: float = 8.0
+    descriptor_k: int = 64
+
+    # matching
+    max_correspondences: int = 1024
+    mutual: bool = True
+    ratio_test: float = 0.0
+
+    # estimator thresholds in pr units
+    compat_mult: float = 5.0
+    min_sep_mult: float = 8.0
+    inlier_mult: float = 5.0
+    estimator: SacCotParams = SacCotParams()
+
+    metric_scale: Optional[float] = None
+
+    def __post_init__(self):
+        if self.descriptor not in ("shot", "fpfh"):
+            raise ValueError(f"unknown descriptor {self.descriptor!r}")
+
+
+class PipelineResult(NamedTuple):
+    registration: RegistrationResult
+    resolution: jnp.ndarray
+    num_keypoints_src: jnp.ndarray
+    num_keypoints_tgt: jnp.ndarray
+    num_correspondences: jnp.ndarray
+
+
+def extract_features(
+    points: jnp.ndarray,
+    cfg: PipelineConfig,
+    pr: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[Keypoints, jnp.ndarray]:
+    """Keypoints + descriptors for one cloud. pr: mesh resolution scalar."""
+    normals = estimate_normals(points, k=cfg.normal_k, mask=mask)
+    kps = iss_keypoints(
+        points,
+        salient_radius=cfg.iss_salient_mult * pr,
+        nms_radius=cfg.iss_nms_mult * pr,
+        max_keypoints=cfg.max_keypoints,
+        gamma21=cfg.iss_gamma21,
+        gamma32=cfg.iss_gamma32,
+        mask=mask,
+    )
+    r_desc = cfg.descriptor_radius_mult * pr
+    if cfg.descriptor == "shot":
+        desc = shot_descriptors(points, normals, kps.idx, r_desc, k=cfg.descriptor_k, mask=mask)
+    else:
+        desc = fpfh_descriptors(points, normals, kps.idx, r_desc, k=cfg.descriptor_k, mask=mask)
+    return kps, desc
+
+
+def _register_clouds(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    cfg: PipelineConfig,
+    src_mask: Optional[jnp.ndarray],
+    tgt_mask: Optional[jnp.ndarray],
+) -> PipelineResult:
+    src = src.astype(jnp.float32)
+    tgt = tgt.astype(jnp.float32)
+
+    if cfg.metric_scale is not None:
+        pr = jnp.asarray(cfg.metric_scale, jnp.float32)
+    else:
+        pr = mesh_resolution(src, mask=src_mask)
+
+    if cfg.voxel_mult > 0:
+        # Voxel size in pr units is data-dependent; static shapes force a
+        # fixed budget. (Radii keep using the *original* resolution scale.)
+        src, src_mask = voxel_downsample(src, cfg.voxel_mult * pr, cfg.max_cloud_points, src_mask)
+        tgt, tgt_mask = voxel_downsample(tgt, cfg.voxel_mult * pr, cfg.max_cloud_points, tgt_mask)
+
+    kp_s, d_s = extract_features(src, cfg, pr, mask=src_mask)
+    kp_t, d_t = extract_features(tgt, cfg, pr, mask=tgt_mask)
+
+    matches = match_descriptors(
+        d_s, d_t, mask_src=kp_s.valid, mask_tgt=kp_t.valid,
+        mutual=cfg.mutual, ratio_test=cfg.ratio_test,
+    )
+    matches = mutual_filter(matches, cfg.max_correspondences)
+    P = kp_s.xyz[matches.src_idx]
+    Q = kp_t.xyz[matches.tgt_idx]
+    cmask = matches.valid.astype(jnp.float32)
+
+    # Thresholds scale with the (traced) resolution, so they cannot live in
+    # the static params. Instead the *geometry* is rescaled to resolution
+    # units — exactly equivalent, and params stay static.
+    inv_pr = 1.0 / jnp.maximum(pr, 1e-12)
+    params = dataclasses.replace(
+        cfg.estimator,
+        compat_tau=float(cfg.compat_mult),
+        min_separation=float(cfg.min_sep_mult),
+        inlier_tau=float(cfg.inlier_mult),
+    )
+    reg = _register_pair(P * inv_pr, Q * inv_pr, cmask, params, "jnp", "jnp")
+    # Un-scale the translation back to metric units (R is scale-free).
+    t_metric = reg.t * pr
+    reg = reg._replace(
+        t=t_metric,
+        T=reg.T.at[:3, 3].set(t_metric),
+    )
+    return PipelineResult(
+        registration=reg,
+        resolution=pr,
+        num_keypoints_src=jnp.sum(kp_s.valid).astype(jnp.int32),
+        num_keypoints_tgt=jnp.sum(kp_t.valid).astype(jnp.int32),
+        num_correspondences=jnp.sum(matches.valid).astype(jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def register_clouds(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    cfg: PipelineConfig,
+    src_mask: Optional[jnp.ndarray] = None,
+    tgt_mask: Optional[jnp.ndarray] = None,
+) -> PipelineResult:
+    """End-to-end: two raw clouds -> rigid transform (target = T * source)."""
+    return _register_clouds(src, tgt, cfg, src_mask, tgt_mask)

@@ -1,0 +1,101 @@
+"""SHOT descriptors as batched histogram tensor ops.
+
+Replaces `pcl::SHOTEstimation` (SURVEY.md section 2.1, "Descriptors") with a
+fully batched formulation: per keypoint, a weighted-covariance local
+reference frame (LRF) with sign disambiguation, then a 32-volume spatial
+grid (8 azimuth x 2 elevation x 2 radial) x 11 cosine-of-normal-angle bins
+= 352-D histogram, accumulated with one segment-sum scatter for the whole
+keypoint set. Hard binning instead of PCL's quadrilinear soft binning — the
+contract is matching/recall parity (SURVEY.md section 2.3), not PCL
+bit-parity.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from saccot_tpu.features.neighbors import knn, neighbor_validity
+
+SHOT_DIM = 352  # 8 * 2 * 2 spatial volumes x 11 cosine bins
+
+
+def local_reference_frames(
+    points: jnp.ndarray,
+    kp_idx: jnp.ndarray,
+    nbr_idx: jnp.ndarray,
+    nbr_valid: jnp.ndarray,
+    nbr_dist: jnp.ndarray,
+    radius: float,
+) -> jnp.ndarray:
+    """Disambiguated LRFs [M, 3, 3]; rows are the x, y, z axes.
+
+    Weighted covariance with weights (radius - d), eigenvectors as axes
+    (largest eigenvalue -> x, smallest -> z), each of x/z sign-flipped
+    toward the majority of neighbors, y = z cross x.
+    """
+    kp = points[kp_idx]  # [M, 3]
+    nb = points[nbr_idx]  # [M, k, 3]
+    rel = nb - kp[:, None, :]
+    w = jnp.maximum(radius - nbr_dist, 0.0) * nbr_valid.astype(points.dtype)
+    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
+    cov = jnp.einsum(
+        "mk,mki,mkj->mij", w, rel, rel, precision=jax.lax.Precision.HIGHEST
+    ) / wsum[..., None]
+    _, vecs = jnp.linalg.eigh(cov)  # ascending eigenvalues
+    z = vecs[..., 0]
+    y_tmp = vecs[..., 1]
+    x = vecs[..., 2]
+
+    def disambiguate(axis):
+        proj = jnp.einsum("mki,mi->mk", rel, axis)
+        vote = jnp.sum(jnp.where(nbr_valid, jnp.sign(proj), 0.0), axis=-1)
+        s = jnp.where(vote < 0, -1.0, 1.0)
+        return axis * s[:, None]
+
+    x = disambiguate(x)
+    z = disambiguate(z)
+    y = jnp.cross(z, x)
+    return jnp.stack([x, y, z], axis=-2)  # [M, 3(axes), 3(coords)]
+
+
+def shot_descriptors(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    kp_idx: jnp.ndarray,
+    radius: float,
+    k: int = 64,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """SHOT descriptors [M, 352] for keypoints `kp_idx` of a cloud.
+
+    Invalid keypoints (padded idx) simply produce whatever histogram their
+    slot-0 gather gives — callers carry the keypoint validity mask.
+    """
+    kp = points[kp_idx]  # [M, 3]
+    d, idx = knn(kp, points, k=k, ref_mask=mask, exclude_self=False)
+    valid = neighbor_validity(d, radius=radius)
+    # Exclude the keypoint itself (distance ~0 would pollute azimuth).
+    valid &= d > 1e-9
+
+    lrf = local_reference_frames(points, kp_idx, idx, valid, d, radius)  # [M,3,3]
+    nb = points[idx] - kp[:, None, :]  # [M, k, 3]
+    local = jnp.einsum("mai,mki->mka", lrf, nb)  # [M, k, 3] coords in LRF(x,y,z)
+
+    lx, ly, lz = local[..., 0], local[..., 1], local[..., 2]
+    azimuth = jnp.arctan2(ly, lx)  # [-pi, pi]
+    az_bin = jnp.clip(((azimuth + jnp.pi) / (2 * jnp.pi) * 8).astype(jnp.int32), 0, 7)
+    el_bin = (lz >= 0).astype(jnp.int32)
+    rad_bin = (d >= radius * 0.5).astype(jnp.int32)
+
+    cos_t = jnp.einsum("mki,mi->mk", normals[idx], lrf[:, 2, :])  # vs LRF z
+    cos_bin = jnp.clip(((cos_t + 1.0) * 0.5 * 11).astype(jnp.int32), 0, 10)
+
+    bins = ((az_bin * 2 + el_bin) * 2 + rad_bin) * 11 + cos_bin  # [M, k] in [0,352)
+    M = kp.shape[0]
+    seg = (jnp.arange(M, dtype=jnp.int32)[:, None] * SHOT_DIM + bins).reshape(-1)
+    w = valid.astype(jnp.float32).reshape(-1)
+    hist = jax.ops.segment_sum(w, seg, num_segments=M * SHOT_DIM).reshape(M, SHOT_DIM)
+    return hist / jnp.maximum(jnp.linalg.norm(hist, axis=-1, keepdims=True), 1e-9)

@@ -67,20 +67,35 @@ def enumerate_triangles(S: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     A = S > 0.0
     n = A.shape[0]
     ii, jj = np.nonzero(np.triu(A, k=1))
-    triples = []
-    scores = []
-    idx = np.arange(n)
-    for i, j in zip(ii, jj):
-        # common neighbors k with k > j keeps each clique counted once
-        common = A[i] & A[j] & (idx > j)
-        ks = np.nonzero(common)[0]
-        if ks.size:
-            for k in ks:
-                triples.append((i, j, k))
-                scores.append(S[i, j] + S[i, k] + S[j, k])
-    if not triples:
+    if ii.size == 0:
         return np.zeros((0, 3), dtype=np.int64), np.zeros((0,), dtype=np.float64)
-    return np.asarray(triples, dtype=np.int64), np.asarray(scores, dtype=np.float64)
+
+    # Vectorized common-neighbor intersection over packed bitsets: for every
+    # edge (i, j), the triangles through it are the set bits of
+    # row(i) & row(j) & {k > j}. This is the same adjacency-intersection the
+    # reference's C++ would do, in honest vectorized NumPy (it is also the
+    # CPU throughput baseline, so it must not be a strawman).
+    bits = np.packbits(A, axis=1)  # [n, ceil(n/8)] uint8
+    # suffix_mask[j] has bits set exactly for indices > j
+    tri_upper = ~np.tri(n, n, k=0, dtype=bool)  # strict upper: col > row
+    suffix = np.packbits(tri_upper, axis=1)  # [n, nb]
+
+    triples_list = []
+    scores_list = []
+    edge_block = max(1, int(2e8) // max(n, 1))  # cap unpacked block at ~200MB
+    for s0 in range(0, ii.size, edge_block):
+        sl = slice(s0, min(s0 + edge_block, ii.size))
+        common = bits[ii[sl]] & bits[jj[sl]] & suffix[jj[sl]]  # [e, nb]
+        ks_mask = np.unpackbits(common, axis=1, count=n).astype(bool)  # [e, n]
+        e_idx, k_idx = np.nonzero(ks_mask)
+        i_idx = ii[sl][e_idx]
+        j_idx = jj[sl][e_idx]
+        triples_list.append(np.stack([i_idx, j_idx, k_idx], axis=1))
+        scores_list.append(S[i_idx, j_idx] + S[i_idx, k_idx] + S[j_idx, k_idx])
+
+    triples = np.concatenate(triples_list, axis=0).astype(np.int64)
+    scores = np.concatenate(scores_list, axis=0).astype(np.float64)
+    return triples, scores
 
 
 def rank_triangles(

@@ -1,0 +1,163 @@
+"""Pose-graph optimization: on-manifold Gauss-Newton over SE(3).
+
+New capability beyond the reference (SURVEY.md section 1.3, T6): multi-scan
+consistency from pairwise SAC-COT edges. Nodes are scan poses T_i (world <-
+scan), edges carry relative measurements Z_ij ~= T_i^{-1} T_j with 6x6
+information matrices derived from the estimator's inlier statistics.
+
+Residual (right-perturbation convention):
+    r_ij = log( Z_ij^{-1} * T_i^{-1} * T_j )  in R^6,  T <- T * exp(dx)
+
+Per-edge Jacobians come from forward-mode autodiff through the exp/log maps
+(vmapped, evaluated at dx = 0) — exact, branchless, and free of hand-derived
+adjoint bookkeeping. The normal system is assembled as dense [M*6, M*6] via
+one segment-sum scatter (fine to a few thousand poses; the sharded
+large-scale path lives in slam/ba.py where the Schur trick applies), gauge
+is fixed by pinning pose 0, and a fixed GN iteration count keeps the whole
+solve inside one jit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from saccot_tpu.slam import se3
+
+
+class PoseGraph(NamedTuple):
+    poses: jnp.ndarray    # [M, 4, 4] initial pose estimates (world <- scan)
+    edge_i: jnp.ndarray   # [E] int32 source node
+    edge_j: jnp.ndarray   # [E] int32 target node
+    meas: jnp.ndarray     # [E, 4, 4] measured Z_ij ~= T_i^{-1} T_j
+    weight: jnp.ndarray   # [E] scalar edge weights (info = weight * I6)
+    info: Optional[jnp.ndarray] = None  # optional [E, 6, 6] full information
+
+
+def edge_residual(T_i, T_j, Z_ij):
+    """r = log(Z^{-1} T_i^{-1} T_j) in R^6."""
+    return se3.log_se3(se3.compose(se3.inv(Z_ij), se3.compose(se3.inv(T_i), T_j)))
+
+
+def _edge_residual_perturbed(xi_i, xi_j, T_i, T_j, Z_ij):
+    Ti = se3.compose(T_i, se3.exp_se3(xi_i))
+    Tj = se3.compose(T_j, se3.exp_se3(xi_j))
+    return edge_residual(Ti, Tj, Z_ij)
+
+
+def _edge_jacobians(T_i, T_j, Z_ij):
+    """(r [6], J_i [6,6], J_j [6,6]) at xi = 0, per edge (vmapped)."""
+    zero = jnp.zeros((6,), T_i.dtype)
+    r = _edge_residual_perturbed(zero, zero, T_i, T_j, Z_ij)
+    J_i = jax.jacfwd(_edge_residual_perturbed, argnums=0)(zero, zero, T_i, T_j, Z_ij)
+    J_j = jax.jacfwd(_edge_residual_perturbed, argnums=1)(zero, zero, T_i, T_j, Z_ij)
+    return r, J_i, J_j
+
+
+def _assemble_normal_system(poses, graph: PoseGraph):
+    """Dense H [6M, 6M], b [6M] from all edges (one scatter)."""
+    M = poses.shape[0]
+    Ti = poses[graph.edge_i]
+    Tj = poses[graph.edge_j]
+    r, J_i, J_j = jax.vmap(_edge_jacobians)(Ti, Tj, graph.meas)  # [E,6],[E,6,6]x2
+
+    if graph.info is not None:
+        L = graph.info  # [E, 6, 6]
+        LJ_i = jnp.einsum("eab,ebc->eac", L, J_i)
+        LJ_j = jnp.einsum("eab,ebc->eac", L, J_j)
+        Lr = jnp.einsum("eab,eb->ea", L, r)
+    else:
+        w = graph.weight[:, None, None]
+        LJ_i, LJ_j = w * J_i, w * J_j
+        Lr = graph.weight[:, None] * r
+
+    # Block contributions: H[ii] += Ji^T L Ji, H[ij] += Ji^T L Jj, etc.
+    Hii = jnp.einsum("eba,ebc->eac", J_i, LJ_i)
+    Hij = jnp.einsum("eba,ebc->eac", J_i, LJ_j)
+    Hji = jnp.swapaxes(Hij, -1, -2)
+    Hjj = jnp.einsum("eba,ebc->eac", J_j, LJ_j)
+    bi = jnp.einsum("eba,eb->ea", J_i, Lr)
+    bj = jnp.einsum("eba,eb->ea", J_j, Lr)
+
+    # Scatter blocks into the dense system via linear segment ids.
+    ei, ej = graph.edge_i, graph.edge_j
+    blk = jnp.concatenate([Hii, Hij, Hji, Hjj], axis=0)  # [4E, 6, 6]
+    rows = jnp.concatenate([ei, ei, ej, ej])
+    cols = jnp.concatenate([ei, ej, ei, ej])
+    seg = rows * M + cols
+    Hblocks = jax.ops.segment_sum(blk, seg, num_segments=M * M)  # [M*M, 6, 6]
+    H = (
+        Hblocks.reshape(M, M, 6, 6)
+        .transpose(0, 2, 1, 3)
+        .reshape(M * 6, M * 6)
+    )
+    bvec = jax.ops.segment_sum(
+        jnp.concatenate([bi, bj], axis=0),
+        jnp.concatenate([ei, ej]),
+        num_segments=M,
+    ).reshape(M * 6)
+    return H, bvec
+
+
+class PGOResult(NamedTuple):
+    poses: jnp.ndarray          # [M, 4, 4] optimized
+    final_cost: jnp.ndarray     # scalar: sum of weighted squared residuals
+    initial_cost: jnp.ndarray
+
+
+def graph_cost(poses, graph: PoseGraph) -> jnp.ndarray:
+    r = jax.vmap(edge_residual)(poses[graph.edge_i], poses[graph.edge_j], graph.meas)
+    if graph.info is not None:
+        return jnp.sum(jnp.einsum("ea,eab,eb->e", r, graph.info, r))
+    return jnp.sum(graph.weight * jnp.sum(r * r, axis=-1))
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_pose_graph(
+    graph: PoseGraph,
+    iters: int = 10,
+    damping: float = 1e-6,
+) -> PGOResult:
+    """Gauss-Newton with pose-0 gauge fix, fixed iteration count, one jit."""
+    M = graph.poses.shape[0]
+    initial_cost = graph_cost(graph.poses, graph)
+
+    def gn_step(poses, _):
+        H, b = _assemble_normal_system(poses, graph)
+        # Gauge: pin pose 0 by masking its rows/cols and unit diagonal.
+        free = (jnp.arange(M * 6) >= 6).astype(poses.dtype)
+        H = H * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+        b = b * free
+        H = H + damping * jnp.eye(M * 6, dtype=poses.dtype)
+        dx = jnp.linalg.solve(H, -b).reshape(M, 6)
+        new_poses = se3.compose(poses, se3.exp_se3(dx))
+        # Guard: reject a step that increases cost (keeps GN monotone even
+        # on nasty graphs; branchless select).
+        better = graph_cost(new_poses, graph) <= graph_cost(poses, graph)
+        poses = jnp.where(better, new_poses, poses)
+        return poses, None
+
+    poses, _ = jax.lax.scan(gn_step, graph.poses, None, length=iters)
+    return PGOResult(
+        poses=poses,
+        final_cost=graph_cost(poses, graph),
+        initial_cost=initial_cost,
+    )
+
+
+def odometry_chain_init(meas_odo: jnp.ndarray) -> jnp.ndarray:
+    """Initialize poses by chaining consecutive measurements Z_{i,i+1}.
+
+    meas_odo: [M-1, 4, 4] -> poses [M, 4, 4] with pose 0 = identity.
+    (Host-side helper — runs a tiny scan.)
+    """
+    def step(T, Z):
+        Tn = se3.compose(T, Z)
+        return Tn, Tn
+
+    T0 = jnp.eye(4, dtype=meas_odo.dtype)
+    _, rest = jax.lax.scan(step, T0, meas_odo)
+    return jnp.concatenate([T0[None], rest], axis=0)

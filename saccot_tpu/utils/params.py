@@ -51,6 +51,10 @@ class SacCotParams:
     # "weighted": inliers weighted by 1 - d/tau (soft MSAC-style score).
     scoring: str = "count"
 
+    # --- blocking (perf tuning only, no semantic effect) ----------------
+    degree_block_rows: int = 256   # row-block size of the virtual compat matrix
+    score_block_k: int = 256       # hypothesis-axis block size in scoring
+
     def __post_init__(self):
         if self.compat_tau <= 0:
             raise ValueError("compat_tau must be positive")

@@ -1,0 +1,130 @@
+"""Distributed paths on the faked 8-device CPU mesh (SURVEY.md section 4.3).
+
+The sharded sweep (DP over pairs, SP over the correspondence axis) must be
+bit-for-bit-equivalent (up to f32 reduction order) to the single-device
+estimator: the all-gather/psum decomposition is a layout change, not an
+algorithm change.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from saccot_tpu.dist.mesh import make_mesh
+from saccot_tpu.dist.sweep import make_sweep_fn
+from saccot_tpu.engine.sac_cot import register_batch, register_pair, register_pair_sp
+from saccot_tpu.io.synthetic import correspondence_problem
+from saccot_tpu.utils import se3np
+from saccot_tpu.utils.params import SacCotParams
+
+N = 128
+B = 8
+PARAMS = SacCotParams(
+    compat_tau=0.03, min_separation=0.05, inlier_tau=0.03,
+    num_anchors=48, neighbors_per_anchor=10, max_hypotheses=256,
+    degree_block_rows=64,
+)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    probs = [correspondence_problem(seed=100 + s, n=N, outlier_ratio=0.5) for s in range(B)]
+    P_all = jnp.stack([jnp.asarray(p["P"]) for p in probs])
+    Q_all = jnp.stack([jnp.asarray(p["Q"]) for p in probs])
+    T_gt = np.stack([p["T_gt"] for p in probs])
+    return P_all, Q_all, T_gt
+
+
+def _check_equal(res_sharded, res_ref, T_gt):
+    T_s = np.asarray(res_sharded.T, np.float64)
+    T_r = np.asarray(res_ref.T, np.float64)
+    for b in range(T_s.shape[0]):
+        E = T_s[b] @ np.linalg.inv(T_r[b])
+        # f32 reduction order differs between shardings; near-tie top-k picks
+        # can too — equivalence is "same registration", not bit-equality.
+        assert se3np.rotation_angle_deg(E[:3, :3]) < 0.2
+        assert np.linalg.norm(E[:3, 3]) < 5e-3
+        Eg = T_s[b] @ np.linalg.inv(T_gt[b])
+        assert se3np.rotation_angle_deg(Eg[:3, :3]) < 3.0
+    assert (
+        np.abs(
+            np.asarray(res_sharded.num_inliers, np.int64)
+            - np.asarray(res_ref.num_inliers, np.int64)
+        ).max()
+        <= 1
+    )
+
+
+def test_dp_sweep_matches_single_device(eight_devices, batch):
+    P_all, Q_all, T_gt = batch
+    mesh = make_mesh(pairs=8, corr=1)
+    sweep = make_sweep_fn(mesh, PARAMS)
+    mask = jnp.ones((B, N), jnp.float32)
+    res = sweep(P_all, Q_all, mask)
+    ref = register_batch(P_all, Q_all, PARAMS)
+    _check_equal(res, ref, T_gt)
+
+
+def test_dp_x_sp_sweep_matches_single_device(eight_devices, batch):
+    P_all, Q_all, T_gt = batch
+    mesh = make_mesh(pairs=4, corr=2)
+    sweep = make_sweep_fn(mesh, PARAMS)
+    mask = jnp.ones((B, N), jnp.float32)
+    res = sweep(P_all, Q_all, mask)
+    ref = register_batch(P_all, Q_all, PARAMS)
+    _check_equal(res, ref, T_gt)
+
+
+def test_pure_sp_register_matches_single_device(eight_devices):
+    prob = correspondence_problem(seed=200, n=N, outlier_ratio=0.5)
+    Pv, Qv = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    mask = jnp.ones((N,), jnp.float32)
+    mesh = make_mesh(pairs=1, corr=8)
+
+    fn = jax.shard_map(
+        lambda p, q, m: register_pair_sp(p, q, PARAMS, "corr", mask_shard=m),
+        mesh=mesh,
+        in_specs=(P("corr"), P("corr"), P("corr")),
+        out_specs=_sp_out_specs(),
+        check_vma=False,
+    )
+    res = jax.jit(fn)(Pv, Qv, mask)
+    ref = register_pair(Pv, Qv, PARAMS)
+    E = np.asarray(res.T, np.float64) @ np.linalg.inv(np.asarray(ref.T, np.float64))
+    assert se3np.rotation_angle_deg(E[:3, :3]) < 0.05
+    assert int(res.num_inliers) == int(ref.num_inliers)
+    np.testing.assert_array_equal(np.asarray(res.inliers), np.asarray(ref.inliers))
+
+
+def _sp_out_specs():
+    from saccot_tpu.engine.sac_cot import RegistrationResult
+
+    return RegistrationResult(
+        R=P(), t=P(), T=P(), inliers=P("corr"), num_inliers=P(),
+        best_score=P(), num_valid_triangles=P(), success=P(),
+    )
+
+
+def test_masked_padding_equivalence(eight_devices):
+    # A problem padded from 96 to 128 correspondences must give the same
+    # transform sharded as unsharded.
+    prob = correspondence_problem(seed=201, n=96, outlier_ratio=0.4)
+    Pv = jnp.concatenate([jnp.asarray(prob["P"]), jnp.zeros((32, 3), jnp.float32)])
+    Qv = jnp.concatenate([jnp.asarray(prob["Q"]), jnp.zeros((32, 3), jnp.float32)])
+    mask = jnp.concatenate([jnp.ones((96,), jnp.float32), jnp.zeros((32,), jnp.float32)])
+
+    mesh = make_mesh(pairs=1, corr=8)
+    fn = jax.shard_map(
+        lambda p, q, m: register_pair_sp(p, q, PARAMS, "corr", mask_shard=m),
+        mesh=mesh,
+        in_specs=(P("corr"), P("corr"), P("corr")),
+        out_specs=_sp_out_specs(),
+        check_vma=False,
+    )
+    res = jax.jit(fn)(Pv, Qv, mask)
+    ref = register_pair(Pv, Qv, PARAMS, mask=mask)
+    E = np.asarray(res.T, np.float64) @ np.linalg.inv(np.asarray(ref.T, np.float64))
+    assert se3np.rotation_angle_deg(E[:3, :3]) < 0.05
+    assert not np.asarray(res.inliers)[96:].any()

@@ -1,0 +1,196 @@
+"""SLAM layer tests: SE(3) maps, pose-graph GN convergence, Schur BA, and
+the landmark-sharded distributed BA (SURVEY.md section 4.4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from saccot_tpu.slam import se3
+from saccot_tpu.slam.posegraph import (
+    PoseGraph, optimize_pose_graph, odometry_chain_init, graph_cost,
+)
+from saccot_tpu.slam.ba import BAProblem, bundle_adjust, ba_cost
+from saccot_tpu.utils import se3np
+
+
+def rand_pose(rng, angle=0.8, trans=1.0):
+    return se3np.random_transform(rng, max_angle_rad=angle, max_trans=trans).astype(np.float32)
+
+
+# ---------------------------------------------------------------- SE(3) maps
+def test_exp_log_roundtrip(rng):
+    xi = rng.normal(scale=0.7, size=(64, 6)).astype(np.float32)
+    T = se3.exp_se3(jnp.asarray(xi))
+    back = np.asarray(se3.log_se3(T))
+    np.testing.assert_allclose(back, xi, atol=2e-4)
+
+
+def test_exp_matches_numpy(rng):
+    xi = rng.normal(scale=0.5, size=(16, 6))
+    T_j = np.asarray(se3.exp_se3(jnp.asarray(xi.astype(np.float32))))
+    T_n = se3np.exp_se3(xi)
+    np.testing.assert_allclose(T_j, T_n, atol=1e-5)
+
+
+def test_log_near_pi():
+    axis = np.array([1.0, 2.0, -0.5])
+    axis /= np.linalg.norm(axis)
+    for ang in [np.pi - 1e-2, np.pi - 1e-4]:
+        R = se3np.exp_so3(axis * ang).astype(np.float32)
+        w = np.asarray(se3.log_so3(jnp.asarray(R)))
+        R2 = se3np.exp_so3(w.astype(np.float64))
+        # f32 conditioning of log near pi is ~1e-3; that's the contract.
+        np.testing.assert_allclose(R2, R, atol=5e-3)
+
+
+def test_small_angle_stability():
+    xi = jnp.asarray(np.full((4, 6), 1e-9, np.float32))
+    T = se3.exp_se3(xi)
+    assert bool(jnp.isfinite(T).all())
+    np.testing.assert_allclose(np.asarray(T[0]), np.eye(4), atol=1e-6)
+
+
+# ------------------------------------------------------------- pose graph GN
+def _make_pg_problem(seed=0, M=12, loop=True, noise=0.03, loop_noise=0.002):
+    rng = np.random.default_rng(seed)
+    gt = [np.eye(4, dtype=np.float32)]
+    for _ in range(M - 1):
+        gt.append((gt[-1] @ rand_pose(rng, angle=0.4, trans=0.5)).astype(np.float32))
+    gt = np.stack(gt)
+
+    edges_i, edges_j, meas = [], [], []
+    def add_edge(i, j, sigma):
+        Z = np.linalg.inv(gt[i]) @ gt[j]
+        pert = se3np.exp_se3(rng.normal(scale=sigma, size=6))
+        edges_i.append(i); edges_j.append(j)
+        meas.append((Z @ pert).astype(np.float32))
+
+    # Noisy odometry chain + precise loop closures: the classic setting
+    # where optimization visibly pulls drift back.
+    for i in range(M - 1):
+        add_edge(i, i + 1, noise)
+    if loop:
+        add_edge(M - 1, 0, loop_noise)
+        add_edge(0, M // 2, loop_noise)
+        add_edge(M // 4, 3 * M // 4, loop_noise)
+
+    meas = np.stack(meas)
+    init = np.asarray(odometry_chain_init(jnp.asarray(meas[: M - 1])))
+    graph = PoseGraph(
+        poses=jnp.asarray(init),
+        edge_i=jnp.asarray(edges_i, dtype=jnp.int32),
+        edge_j=jnp.asarray(edges_j, dtype=jnp.int32),
+        meas=jnp.asarray(meas),
+        weight=jnp.ones((len(edges_i),), jnp.float32),
+    )
+    return graph, gt
+
+
+def ate_rmse(poses, gt):
+    # Align first pose (gauge) then RMSE over translations.
+    rel = np.linalg.inv(poses[0]) @ poses
+    rel_gt = np.linalg.inv(gt[0]) @ gt
+    d = rel[:, :3, 3] - rel_gt[:, :3, 3]
+    return float(np.sqrt((d ** 2).sum(-1).mean()))
+
+
+def test_pose_graph_converges_to_gt():
+    graph, gt = _make_pg_problem(seed=1, M=12)
+    res = optimize_pose_graph(graph, iters=10)
+    assert float(res.final_cost) <= float(res.initial_cost)
+    poses = np.asarray(res.poses, np.float64)
+    ate_opt = ate_rmse(poses, gt)
+    ate_init = ate_rmse(np.asarray(graph.poses, np.float64), gt)
+    # Loop closures must visibly pull odometry drift back toward GT.
+    assert ate_opt < 0.1, (ate_opt, ate_init)
+    assert ate_opt < 0.6 * ate_init, (ate_opt, ate_init)
+
+
+def test_pose_graph_perfect_measurements_zero_cost():
+    graph, gt = _make_pg_problem(seed=2, M=8, noise=0.0, loop_noise=0.0)
+    res = optimize_pose_graph(graph, iters=5)
+    assert float(res.final_cost) < 1e-8
+
+
+# ------------------------------------------------------------------------ BA
+def _make_ba_problem(seed=0, M=6, L=64, G=4, noise=0.01, init_noise=0.05):
+    rng = np.random.default_rng(seed)
+    gt_poses = [np.eye(4, dtype=np.float32)]
+    for _ in range(M - 1):
+        gt_poses.append((gt_poses[-1] @ rand_pose(rng, angle=0.3, trans=0.4)).astype(np.float32))
+    gt_poses = np.stack(gt_poses)
+    gt_lm = rng.uniform(-2, 2, size=(L, 3)).astype(np.float32)
+
+    obs_pose = rng.integers(0, M, size=(L, G)).astype(np.int32)
+    # z = T_i^{-1} * l + noise (observation in scan frame)
+    Tinv = np.linalg.inv(gt_poses)[obs_pose]  # [L, G, 4, 4]
+    z = np.einsum("lgij,lj->lgi", Tinv[..., :3, :3], gt_lm) + Tinv[..., :3, 3]
+    z = (z + rng.normal(scale=noise, size=z.shape)).astype(np.float32)
+    w = np.ones((L, G), np.float32)
+    w[:, -1] = (rng.uniform(size=L) > 0.3)  # some padding slots
+
+    # Noisy initialization
+    pert = np.stack([se3np.exp_se3(rng.normal(scale=init_noise, size=6)) for _ in range(M)])
+    init_poses = (gt_poses @ pert).astype(np.float32)
+    init_poses[0] = np.eye(4, dtype=np.float32)  # gauge
+    init_lm = (gt_lm + rng.normal(scale=init_noise, size=gt_lm.shape)).astype(np.float32)
+
+    prob = BAProblem(
+        poses=jnp.asarray(init_poses),
+        landmarks=jnp.asarray(init_lm),
+        obs_pose=jnp.asarray(obs_pose),
+        obs_z=jnp.asarray(z),
+        obs_w=jnp.asarray(w),
+    )
+    return prob, gt_poses, gt_lm
+
+
+def test_ba_reduces_cost_and_recovers_poses():
+    prob, gt_poses, gt_lm = _make_ba_problem(seed=3)
+    res = bundle_adjust(prob, iters=8)
+    assert float(res.final_cost) < float(res.initial_cost) * 0.05
+    poses = np.asarray(res.poses, np.float64)
+    assert ate_rmse(poses, gt_poses) < 0.05
+
+
+def test_ba_perfect_obs_zero_cost():
+    prob, _, _ = _make_ba_problem(seed=4, noise=0.0, init_noise=0.02)
+    res = bundle_adjust(prob, iters=8)
+    assert float(res.final_cost) < 1e-6
+
+
+def test_ba_sharded_matches_single_device(eight_devices):
+    from saccot_tpu.dist.mesh import make_mesh
+
+    prob, gt_poses, _ = _make_ba_problem(seed=5, L=64, M=6)
+    ref = bundle_adjust(prob, iters=6)
+
+    mesh = make_mesh(pairs=1, corr=8)
+
+    def local(landmarks, obs_pose, obs_z, obs_w):
+        local_prob = BAProblem(
+            poses=prob.poses, landmarks=landmarks,
+            obs_pose=obs_pose, obs_z=obs_z, obs_w=obs_w,
+        )
+        return bundle_adjust(local_prob, iters=6, axis_name="corr")
+
+    from saccot_tpu.slam.ba import BAResult
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("corr"), P("corr"), P("corr"), P("corr")),
+        out_specs=BAResult(
+            poses=P(), landmarks=P("corr"), initial_cost=P(), final_cost=P(),
+        ),
+        check_vma=False,
+    )
+    res = jax.jit(fn)(prob.landmarks, prob.obs_pose, prob.obs_z, prob.obs_w)
+    np.testing.assert_allclose(
+        np.asarray(res.poses), np.asarray(ref.poses), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.landmarks), np.asarray(ref.landmarks), atol=2e-4
+    )
+    assert abs(float(res.final_cost) - float(ref.final_cost)) < 1e-3
