@@ -1,0 +1,65 @@
+"""CLI driver: `python -m saccot_tpu.cli.main <config> [options]`.
+
+The reference's `main(argc, argv)` equivalent (SURVEY.md section 1.2, L6):
+pick a benchmark config, run it, print the metrics dict as one JSON line on
+stdout (diagnostics to stderr, per-pair records to --log as JSONL).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+from saccot_tpu.cli.configs import CONFIGS
+from saccot_tpu.cli.runners import run_config
+from saccot_tpu.dist.mesh import init_distributed
+from saccot_tpu.utils.logging import JsonlLogger
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="saccot_tpu", description=__doc__)
+    ap.add_argument("config", choices=sorted(CONFIGS), help="benchmark config")
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--pairs", type=int, default=None, help="override pair count")
+    ap.add_argument("--scans", type=int, default=None, help="override scan count (slam)")
+    ap.add_argument("--corr", type=int, default=None, help="override correspondence count")
+    ap.add_argument("--log", type=str, default=None, help="JSONL per-pair log path")
+    ap.add_argument("--ckpt", type=str, default=None, help="sweep checkpoint dir")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    init_distributed()
+
+    cfg = CONFIGS[args.config]
+    overrides = {}
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    if args.pairs is not None:
+        overrides["n_pairs"] = args.pairs
+    if args.scans is not None:
+        overrides["n_scans"] = args.scans
+    if args.corr is not None:
+        overrides["n_corr"] = args.corr
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+
+    kw = {}
+    if args.log:
+        kw["log"] = JsonlLogger(args.log)
+    if args.ckpt and cfg.kind == "sweep":
+        kw["ckpt"] = args.ckpt
+
+    metrics = run_config(cfg, **kw)
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,176 @@
+"""Runners for the driver configs: generate/load data, execute, evaluate.
+
+Each runner returns a metrics dict (and writes per-pair JSONL when given a
+log path). These are the reference's L6 driver loops (SURVEY.md section
+3.1-3.2) rebuilt around the batched/sharded engine.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from saccot_tpu.cli.configs import RunConfig
+from saccot_tpu.engine.sac_cot import register_batch
+from saccot_tpu.evaluation.metrics import ate, is_registered, registration_error
+from saccot_tpu.features.pipeline import register_clouds
+from saccot_tpu.io.synthetic import correspondence_problem, slam_sequence, two_view_pair
+from saccot_tpu.utils.checkpoint import SweepCheckpointer
+from saccot_tpu.utils.logging import JsonlLogger
+
+
+def run_pipeline_config(cfg: RunConfig, log: Optional[JsonlLogger] = None) -> Dict:
+    """Configs 1-2: full cloud->transform pipeline over synthetic view pairs."""
+    ok, rot_errs, trans_errs, times = 0, [], [], []
+    for p in range(cfg.n_pairs):
+        pair = two_view_pair(seed=cfg.seed + p, n_points=cfg.n_points,
+                             overlap=0.8, noise=0.002)
+        t0 = time.time()
+        res = register_clouds(
+            jnp.asarray(pair["source"]), jnp.asarray(pair["target"]), cfg.pipeline
+        )
+        jax.block_until_ready(res.registration.T)
+        dt = time.time() - t0
+        T = np.asarray(res.registration.T, np.float64)
+        r, t = registration_error(T, pair["T_gt"])
+        hit = is_registered(T, pair["T_gt"], cfg.rot_thresh_deg, cfg.trans_thresh)
+        ok += hit
+        rot_errs.append(r); trans_errs.append(t); times.append(dt)
+        if log:
+            log.log(dict(config=cfg.name, pair=p, rot_err_deg=r, trans_err=t,
+                         registered=bool(hit), wall_s=dt,
+                         num_corr=int(res.num_correspondences),
+                         num_inliers=int(res.registration.num_inliers)))
+    return dict(
+        config=cfg.name, pairs=cfg.n_pairs, recall=ok / cfg.n_pairs,
+        mean_rot_err_deg=float(np.mean(rot_errs)),
+        mean_trans_err=float(np.mean(trans_errs)),
+        mean_wall_s=float(np.mean(times[1:])) if len(times) > 1 else times[0],
+    )
+
+
+def run_sweep_config(cfg: RunConfig, log: Optional[JsonlLogger] = None,
+                     ckpt: Optional[str] = None, batch: int = 16) -> Dict:
+    """Config 3: external correspondences, batched estimation, recall."""
+    probs = [
+        correspondence_problem(
+            seed=cfg.seed + s, n=cfg.n_corr, outlier_ratio=cfg.outlier_ratio,
+            noise=cfg.noise,
+        )
+        for s in range(cfg.n_pairs)
+    ]
+    fn = jax.jit(lambda a, b: register_batch(a, b, cfg.params))
+    ckptr = SweepCheckpointer(ckpt)
+    results_T = {}
+    t_total, n_done = 0.0, 0
+    for s0 in range(0, cfg.n_pairs, batch):
+        shard = s0 // batch
+        chunk = probs[s0 : s0 + batch]
+        if len(chunk) < batch:  # pad the last shard
+            chunk = chunk + [chunk[-1]] * (batch - len(chunk))
+        if ckptr.is_done(shard):
+            T_all = ckptr.done[shard]["T"]
+        else:
+            Pa = jnp.stack([jnp.asarray(p["P"]) for p in chunk])
+            Qa = jnp.stack([jnp.asarray(p["Q"]) for p in chunk])
+            t0 = time.time()
+            res = fn(Pa, Qa)
+            jax.block_until_ready(res.T)
+            t_total += time.time() - t0
+            n_done += batch
+            T_all = np.asarray(res.T, np.float64)
+            ckptr.record(shard, dict(T=T_all))
+        for b in range(batch):
+            if s0 + b < cfg.n_pairs:
+                results_T[s0 + b] = T_all[b]
+
+    flags, rots, trans = [], [], []
+    for idx, T in results_T.items():
+        r, t = registration_error(T, probs[idx]["T_gt"])
+        hit = is_registered(T, probs[idx]["T_gt"], cfg.rot_thresh_deg, cfg.trans_thresh)
+        flags.append(hit); rots.append(r); trans.append(t)
+        if log:
+            log.log(dict(config=cfg.name, pair=idx, rot_err_deg=r, trans_err=t,
+                         registered=bool(hit)))
+    return dict(
+        config=cfg.name, pairs=cfg.n_pairs, recall=float(np.mean(flags)),
+        mean_rot_err_deg=float(np.mean(rots)), mean_trans_err=float(np.mean(trans)),
+        pairs_per_sec=(n_done / t_total) if t_total > 0 else None,
+    )
+
+
+def run_kitti_config(cfg: RunConfig, log: Optional[JsonlLogger] = None) -> Dict:
+    """Config 4: LiDAR-scale N (>=50k) pairs through the blockwise engine."""
+    from saccot_tpu.engine.sac_cot import register_pair
+
+    flags, rots, trans, times = [], [], [], []
+    for s in range(cfg.n_pairs):
+        prob = correspondence_problem(
+            seed=cfg.seed + s, n=cfg.n_corr, outlier_ratio=cfg.outlier_ratio,
+            noise=cfg.noise, n_points=4 * cfg.n_corr, max_angle=0.3, max_trans=3.0,
+        )
+        # Scene-scale spread (KITTI frames span ~100 m).
+        scale = 30.0
+        P = jnp.asarray(prob["P"] * scale)
+        Q = jnp.asarray(prob["Q"] * scale)
+        T_gt = prob["T_gt"].copy()
+        T_gt[:3, 3] *= scale
+        t0 = time.time()
+        res = register_pair(P, Q, cfg.params)
+        jax.block_until_ready(res.T)
+        dt = time.time() - t0
+        T = np.asarray(res.T, np.float64)
+        r, t = registration_error(T, T_gt)
+        hit = is_registered(T, T_gt, cfg.rot_thresh_deg, cfg.trans_thresh)
+        flags.append(hit); rots.append(r); trans.append(t); times.append(dt)
+        if log:
+            log.log(dict(config=cfg.name, pair=s, n=cfg.n_corr, rot_err_deg=r,
+                         trans_err=t, registered=bool(hit), wall_s=dt))
+    return dict(
+        config=cfg.name, pairs=cfg.n_pairs, n_corr=cfg.n_corr,
+        recall=float(np.mean(flags)), mean_rot_err_deg=float(np.mean(rots)),
+        mean_trans_err=float(np.mean(trans)),
+        mean_wall_s=float(np.mean(times[1:])) if len(times) > 1 else times[0],
+    )
+
+
+def run_slam_config(cfg: RunConfig, log: Optional[JsonlLogger] = None) -> Dict:
+    """Config 5: sequence SLAM — SAC-COT edges, pose graph, BA, ATE."""
+    from saccot_tpu.slam.frontend import run_sequence
+
+    seq = slam_sequence(
+        seed=cfg.seed, n_scans=cfg.n_scans, n_corr=cfg.n_corr,
+        outlier_ratio=cfg.outlier_ratio, noise=cfg.noise, loop_every=cfg.loop_every,
+    )
+    t0 = time.time()
+    res = run_sequence(
+        n_scans=cfg.n_scans, edges=seq["edges"], edge_P=seq["edge_P"],
+        edge_Q=seq["edge_Q"], params=cfg.params,
+    )
+    jax.block_until_ready(res.poses)
+    dt = time.time() - t0
+    err_pgo = ate(np.asarray(res.pose_graph_result.poses, np.float64), seq["poses_gt"])
+    err_final = ate(np.asarray(res.poses, np.float64), seq["poses_gt"])
+    odo_init = np.asarray(res.pose_graph_result.poses)  # post-PGO
+    out = dict(
+        config=cfg.name, scans=cfg.n_scans, edges=int(seq["edges"].shape[0]),
+        ate_rmse=err_final["rmse"], ate_rmse_pgo=err_pgo["rmse"],
+        edges_registered=int(np.asarray(res.registration.success).sum()),
+        wall_s=dt,
+    )
+    if log:
+        log.log(dict(**out))
+    return out
+
+
+def run_config(cfg: RunConfig, **kw) -> Dict:
+    return {
+        "pipeline": run_pipeline_config,
+        "sweep": run_sweep_config,
+        "kitti": run_kitti_config,
+        "slam": run_slam_config,
+    }[cfg.kind](cfg, **kw)

@@ -1,0 +1,160 @@
+"""SLAM front end: pairwise SAC-COT edges -> pose graph -> optional BA.
+
+The full config-5 flow (SURVEY.md section 3.5):
+
+  1. batch-register every sequence edge (odometry + loop closures) with the
+     SAC-COT estimator — one vmapped/sharded sweep, the same unit the DP
+     mesh axis shards;
+  2. convert per-edge transforms to pose-graph measurements with weights
+     from inlier counts; chain odometry for the initial guess;
+  3. Gauss-Newton pose-graph optimization;
+  4. optionally promote the per-edge inlier correspondences to landmark
+     observations and run Schur-complement bundle adjustment for the final
+     trajectory + map.
+
+Frame conventions: `register_pair(P_i, Q_j)` returns M with q ~= M p (p in
+scan i's frame, q in scan j's). With poses T_i: world <- scan, a shared
+point satisfies p_j = T_j^{-1} T_i p_i, so the pose-graph measurement
+Z_ij = T_i^{-1} T_j = M^{-1}.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from saccot_tpu.engine.sac_cot import RegistrationResult, register_batch
+from saccot_tpu.slam import se3
+from saccot_tpu.slam.ba import BAProblem, bundle_adjust, BAResult
+from saccot_tpu.slam.posegraph import (
+    PoseGraph, PGOResult, odometry_chain_init, optimize_pose_graph,
+)
+from saccot_tpu.utils.params import SacCotParams
+
+
+class SequenceResult(NamedTuple):
+    poses: jnp.ndarray               # [M, 4, 4] final trajectory
+    pose_graph_result: PGOResult
+    registration: RegistrationResult  # batched per-edge results
+    ba_result: Optional[BAResult]
+
+
+def registrations_to_graph(
+    n_scans: int,
+    edges: jnp.ndarray,          # [E, 2] (i, j)
+    reg: RegistrationResult,     # batched over E
+    min_inliers: int = 5,
+) -> PoseGraph:
+    """Build a PoseGraph from batched edge registrations.
+
+    Edge weight = inlier count (a crude but effective information proxy);
+    failed edges (few inliers / no triangles) get weight ~0 so they don't
+    corrupt the solve but keep static shapes.
+    """
+    Z = se3.inv(reg.T)  # measurement T_i^{-1} T_j (see module docstring)
+    ok = reg.success & (reg.num_inliers >= min_inliers)
+    w = jnp.where(ok, reg.num_inliers.astype(jnp.float32), 1e-6)
+
+    # Initial guess: chain the odometry edges (assumed to be the first
+    # n_scans-1 edges, in order — the sequence harness guarantees this).
+    odo = Z[: n_scans - 1]
+    poses0 = odometry_chain_init(odo)
+    return PoseGraph(
+        poses=poses0,
+        edge_i=edges[:, 0].astype(jnp.int32),
+        edge_j=edges[:, 1].astype(jnp.int32),
+        meas=Z,
+        weight=w,
+    )
+
+
+def correspondences_to_ba(
+    poses: jnp.ndarray,            # [M, 4, 4] pose-graph output
+    edges: np.ndarray,             # [E, 2]
+    edge_P: np.ndarray,            # [E, N, 3] points in frame i
+    edge_Q: np.ndarray,            # [E, N, 3] points in frame j
+    inliers: np.ndarray,           # [E, N] bool from registration
+    max_landmarks: int = 2048,
+    obs_per_landmark: int = 2,
+) -> BAProblem:
+    """Promote inlier correspondences to landmark observations (host-side).
+
+    Each surviving correspondence becomes one landmark observed twice (in
+    scan i at P and scan j at Q); the landmark is initialized at the mean of
+    the two world-frame estimates. Fixed budgets keep shapes static.
+    """
+    poses_np = np.asarray(poses, np.float64)
+    lm, op, oz, ow = [], [], [], []
+    E, N = inliers.shape
+    for e in range(E):
+        i, j = int(edges[e, 0]), int(edges[e, 1])
+        idx = np.nonzero(inliers[e])[0]
+        for n in idx:
+            p_w = poses_np[i] @ np.append(edge_P[e, n], 1.0)
+            q_w = poses_np[j] @ np.append(edge_Q[e, n], 1.0)
+            lm.append((p_w[:3] + q_w[:3]) * 0.5)
+            op.append([i, j])
+            oz.append([edge_P[e, n], edge_Q[e, n]])
+            ow.append([1.0, 1.0])
+            if len(lm) >= max_landmarks:
+                break
+        if len(lm) >= max_landmarks:
+            break
+
+    L = max_landmarks
+    G = obs_per_landmark
+    landmarks = np.zeros((L, 3), np.float32)
+    obs_pose = np.zeros((L, G), np.int32)
+    obs_z = np.zeros((L, G, 3), np.float32)
+    obs_w = np.zeros((L, G), np.float32)
+    n_real = min(len(lm), L)
+    if n_real:
+        landmarks[:n_real] = np.asarray(lm[:n_real], np.float32)
+        obs_pose[:n_real] = np.asarray(op[:n_real], np.int32)[:, :G]
+        obs_z[:n_real] = np.asarray(oz[:n_real], np.float32)[:, :G]
+        obs_w[:n_real] = np.asarray(ow[:n_real], np.float32)[:, :G]
+
+    return BAProblem(
+        poses=jnp.asarray(np.asarray(poses, np.float32)),
+        landmarks=jnp.asarray(landmarks),
+        obs_pose=jnp.asarray(obs_pose),
+        obs_z=jnp.asarray(obs_z),
+        obs_w=jnp.asarray(obs_w),
+    )
+
+
+def run_sequence(
+    n_scans: int,
+    edges: np.ndarray,
+    edge_P: np.ndarray,
+    edge_Q: np.ndarray,
+    params: SacCotParams,
+    pgo_iters: int = 10,
+    run_ba: bool = True,
+    ba_iters: int = 5,
+    max_landmarks: int = 2048,
+) -> SequenceResult:
+    """Full sequence SLAM on one device (the sharded variant lives in
+    dist/sweep.py + slam/dryrun.py composition)."""
+    reg = register_batch(jnp.asarray(edge_P), jnp.asarray(edge_Q), params)
+    graph = registrations_to_graph(n_scans, jnp.asarray(edges), reg)
+    pgo = optimize_pose_graph(graph, iters=pgo_iters)
+
+    ba_res = None
+    poses = pgo.poses
+    if run_ba:
+        prob = correspondences_to_ba(
+            pgo.poses, edges, edge_P, edge_Q, np.asarray(reg.inliers),
+            max_landmarks=max_landmarks,
+        )
+        ba_res = bundle_adjust(prob, iters=ba_iters)
+        poses = ba_res.poses
+    return SequenceResult(
+        poses=poses,
+        pose_graph_result=pgo,
+        registration=reg,
+        ba_result=ba_res,
+    )

@@ -1,0 +1,71 @@
+"""Checkpoint/resume via Orbax (SURVEY.md section 5).
+
+Two checkpointable states:
+
+1. Sweep progress: which pair shards are done + their per-pair results, so
+   a lost host resumes a long dataset sweep from the last shard boundary
+   (restart-from-checkpoint is the elasticity mechanism; live mesh resize
+   is deliberately out of scope).
+2. SLAM state: poses, landmarks, and the GN iterate, so BA resumes
+   mid-solve.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save(path: str, state: Dict[str, Any]) -> None:
+    """Save a pytree of arrays (overwrites)."""
+    path = os.path.abspath(path)
+    ckptr = _ckptr()
+    ckptr.save(path, state, force=True)
+
+
+def restore(path: str) -> Optional[Dict[str, Any]]:
+    """Restore a previously saved state, or None if absent."""
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        return None
+    return _ckptr().restore(path)
+
+
+class SweepCheckpointer:
+    """Shard-granular progress tracking for long pairwise sweeps."""
+
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        self.done: Dict[int, Dict[str, np.ndarray]] = {}
+        if path:
+            state = restore(path)
+            if state is not None:
+                self.done = {
+                    int(k.split("_", 1)[1]): v
+                    for k, v in state.items()
+                    if k.startswith("shard_")
+                }
+
+    def is_done(self, shard_idx: int) -> bool:
+        return shard_idx in self.done
+
+    def record(self, shard_idx: int, results: Dict[str, np.ndarray]) -> None:
+        self.done[shard_idx] = {k: np.asarray(v) for k, v in results.items()}
+        if self.path:
+            save(self.path, {f"shard_{k}": v for k, v in self.done.items()})
+
+    def merged(self) -> Dict[str, np.ndarray]:
+        """Concatenate per-shard results in shard order."""
+        out: Dict[str, list] = {}
+        for idx in sorted(self.done):
+            for k, v in self.done[idx].items():
+                out.setdefault(k, []).append(v)
+        return {k: np.concatenate(v, axis=0) for k, v in out.items()}

@@ -1,0 +1,126 @@
+"""IO loaders, padding/bucketing, checkpoint resume, and CLI smoke tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from saccot_tpu.io import loaders
+
+
+@pytest.fixture
+def cloud(rng):
+    return rng.normal(size=(100, 3)).astype(np.float32)
+
+
+def test_ply_binary_roundtrip(tmp_path, cloud):
+    path = tmp_path / "c.ply"
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {len(cloud)}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "end_header\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        f.write(cloud.astype("<f4").tobytes())
+    got = loaders.load_ply(str(path))
+    np.testing.assert_allclose(got, cloud, atol=1e-6)
+
+
+def test_ply_ascii_roundtrip(tmp_path, cloud):
+    path = tmp_path / "c.ply"
+    header = (
+        "ply\nformat ascii 1.0\n"
+        f"element vertex {len(cloud)}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "end_header\n"
+    )
+    body = "\n".join(" ".join(f"{v:.6f}" for v in row) for row in cloud)
+    path.write_text(header + body + "\n")
+    got = loaders.load_ply(str(path))
+    np.testing.assert_allclose(got, cloud, atol=1e-5)
+
+
+def test_pcd_binary_roundtrip(tmp_path, cloud):
+    path = tmp_path / "c.pcd"
+    header = (
+        "# .PCD v0.7\nVERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+        f"COUNT 1 1 1\nWIDTH {len(cloud)}\nHEIGHT 1\n"
+        f"VIEWPOINT 0 0 0 1 0 0 0\nPOINTS {len(cloud)}\nDATA binary\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        f.write(cloud.astype("<f4").tobytes())
+    got = loaders.load_pcd(str(path))
+    np.testing.assert_allclose(got, cloud, atol=1e-6)
+
+
+def test_kitti_bin_roundtrip(tmp_path, cloud):
+    path = tmp_path / "scan.bin"
+    raw = np.concatenate([cloud, np.zeros((len(cloud), 1), np.float32)], axis=1)
+    raw.astype("<f4").tofile(path)
+    got = loaders.load_kitti_bin(str(path))
+    np.testing.assert_allclose(got, cloud, atol=1e-6)
+
+
+def test_kitti_poses(tmp_path):
+    T = np.tile(np.eye(4), (3, 1, 1))
+    T[1, :3, 3] = [1, 2, 3]
+    rows = T[:, :3, :].reshape(3, 12)
+    path = tmp_path / "poses.txt"
+    np.savetxt(path, rows)
+    got = loaders.load_kitti_poses(str(path))
+    np.testing.assert_allclose(got, T, atol=1e-9)
+
+
+def test_gt_log(tmp_path):
+    T = np.eye(4)
+    T[:3, 3] = [0.5, -1.0, 2.0]
+    lines = ["0 1 52"] + [" ".join(str(v) for v in row) for row in T]
+    path = tmp_path / "gt.log"
+    path.write_text("\n".join(lines) + "\n")
+    got = loaders.load_gt_log(str(path))
+    np.testing.assert_allclose(got[(0, 1)], T)
+
+
+def test_pad_cloud_bucket(cloud):
+    pts, mask = loaders.pad_cloud(cloud, 128)
+    assert pts.shape == (128, 3) and mask.sum() == 100
+    pts2, mask2 = loaders.pad_cloud(cloud, 64)
+    assert pts2.shape == (64, 3) and mask2.sum() == 64
+    assert loaders.bucket_for(100) == 1024
+    assert loaders.bucket_for(5000) == 8192
+
+
+def test_sweep_checkpoint_resume(tmp_path):
+    from saccot_tpu.utils.checkpoint import SweepCheckpointer
+
+    path = str(tmp_path / "ck")
+    ck = SweepCheckpointer(path)
+    assert not ck.is_done(0)
+    ck.record(0, dict(T=np.eye(4)[None].repeat(4, 0)))
+    ck.record(1, dict(T=2 * np.eye(4)[None].repeat(4, 0)))
+
+    ck2 = SweepCheckpointer(path)
+    assert ck2.is_done(0) and ck2.is_done(1) and not ck2.is_done(2)
+    merged = ck2.merged()
+    assert merged["T"].shape == (8, 4, 4)
+    np.testing.assert_allclose(merged["T"][4], 2 * np.eye(4))
+
+
+def test_cli_slam_smoke():
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "saccot_tpu.cli.main", "slam", "--cpu",
+         "--scans", "4", "--corr", "128"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    metrics = json.loads(out.stdout.strip().splitlines()[-1])
+    assert metrics["config"] == "slam"
+    assert metrics["edges_registered"] == metrics["edges"]

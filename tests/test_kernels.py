@@ -1,0 +1,77 @@
+"""Pallas kernel parity vs the jnp reference paths (SURVEY.md section 4.1).
+
+Run in interpret mode on the CPU backend — identical kernel logic, bit-level
+semantics; the compiled TPU path is exercised by bench.py and the verify
+drives.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from saccot_tpu.engine import compat as jcompat
+from saccot_tpu.engine import score as jscore
+from saccot_tpu.engine.sac_cot import register_pair
+from saccot_tpu.io.synthetic import correspondence_problem
+from saccot_tpu.kernels.compat import degrees_pallas
+from saccot_tpu.kernels.score import score_hypotheses_pallas
+from saccot_tpu.utils import se3np
+from saccot_tpu.utils.params import SacCotParams
+
+PARAMS = SacCotParams(
+    compat_tau=0.03, min_separation=0.05, inlier_tau=0.03,
+    num_anchors=64, neighbors_per_anchor=10, max_hypotheses=256,
+)
+
+
+@pytest.fixture(scope="module")
+def prob():
+    return correspondence_problem(seed=31, n=300, outlier_ratio=0.5)
+
+
+def test_degrees_pallas_matches_jnp(prob):
+    P, Q = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    ref = jcompat.degrees(P, Q, P, Q, PARAMS)
+    got = degrees_pallas(P, Q, P, Q, PARAMS)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+
+def test_degrees_pallas_mask_and_offset(prob):
+    P, Q = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    mask = np.ones(300, np.float32)
+    mask[200:] = 0
+    mask = jnp.asarray(mask)
+    # Row-sharded call: rows 100:300 with global offset 100 must equal the
+    # corresponding slice of the full computation.
+    ref = jcompat.degrees(P, Q, P, Q, PARAMS, mask_rows=mask, mask_cols=mask)
+    got = degrees_pallas(
+        P[100:], Q[100:], P, Q, PARAMS,
+        row_offset=100, mask_rows=mask[100:], mask_cols=mask,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref)[100:], rtol=1e-5, atol=1e-4)
+
+
+def test_score_pallas_matches_jnp(prob, rng):
+    K = 100
+    Rs, ts = [], []
+    for _ in range(K):
+        T = se3np.random_transform(rng, max_angle_rad=0.4, max_trans=0.2)
+        Rs.append(T[:3, :3]); ts.append(T[:3, 3])
+    Rs = jnp.asarray(np.stack(Rs).astype(np.float32))
+    ts = jnp.asarray(np.stack(ts).astype(np.float32))
+    P, Q = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    mask = jnp.asarray((np.arange(300) < 250).astype(np.float32))
+
+    ref_s, ref_c = jscore.score_hypotheses(Rs, ts, P, Q, 0.03, mask=mask, mode="weighted")
+    got_s, got_c = score_hypotheses_pallas(Rs, ts, P, Q, 0.03, mask=mask, mode="weighted")
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(ref_c))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=1e-4, atol=1e-3)
+
+
+def test_register_pair_pallas_impl_matches(prob):
+    P, Q = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    ref = register_pair(P, Q, PARAMS)
+    got = register_pair(P, Q, PARAMS, compat_impl="pallas", score_impl="pallas")
+    E = np.asarray(got.T, np.float64) @ np.linalg.inv(np.asarray(ref.T, np.float64))
+    assert se3np.rotation_angle_deg(E[:3, :3]) < 0.1
+    assert int(got.num_inliers) == int(ref.num_inliers)

@@ -194,3 +194,27 @@ def test_ba_sharded_matches_single_device(eight_devices):
         np.asarray(res.landmarks), np.asarray(ref.landmarks), atol=2e-4
     )
     assert abs(float(res.final_cost) - float(ref.final_cost)) < 1e-3
+
+
+# ------------------------------------------------------- sequence front end
+def test_sequence_slam_end_to_end():
+    from saccot_tpu.io.synthetic import slam_sequence
+    from saccot_tpu.slam.frontend import run_sequence
+    from saccot_tpu.evaluation.metrics import ate
+    from saccot_tpu.utils.params import SacCotParams
+
+    seq = slam_sequence(seed=11, n_scans=6, n_corr=192, outlier_ratio=0.4,
+                        noise=0.003, loop_every=3)
+    params = SacCotParams(
+        compat_tau=0.03, min_separation=0.08, inlier_tau=0.03,
+        num_anchors=64, neighbors_per_anchor=10, max_hypotheses=256,
+    )
+    res = run_sequence(
+        n_scans=6, edges=seq["edges"], edge_P=seq["edge_P"], edge_Q=seq["edge_Q"],
+        params=params, pgo_iters=8, run_ba=True, ba_iters=4, max_landmarks=512,
+    )
+    # All edges registered
+    assert bool(np.asarray(res.registration.success).all())
+    err = ate(np.asarray(res.poses, np.float64), seq["poses_gt"])
+    err_odo = ate(np.asarray(res.pose_graph_result.poses, np.float64), seq["poses_gt"])
+    assert err["rmse"] < 0.05, (err, err_odo)
