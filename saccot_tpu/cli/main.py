@@ -28,6 +28,8 @@ def main(argv=None) -> int:
     ap.add_argument("--log", type=str, default=None, help="JSONL per-pair log path")
     ap.add_argument("--ckpt", type=str, default=None, help="sweep checkpoint dir")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--fail-after-shard", type=int, default=None,
+                    help="fault injection: crash after checkpointing this shard")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -55,6 +57,8 @@ def main(argv=None) -> int:
         kw["log"] = JsonlLogger(args.log)
     if args.ckpt and cfg.kind == "sweep":
         kw["ckpt"] = args.ckpt
+    if args.fail_after_shard is not None and cfg.kind == "sweep":
+        kw["fail_after_shard"] = args.fail_after_shard
 
     metrics = run_config(cfg, **kw)
     print(json.dumps(metrics))

@@ -54,8 +54,15 @@ def run_pipeline_config(cfg: RunConfig, log: Optional[JsonlLogger] = None) -> Di
 
 
 def run_sweep_config(cfg: RunConfig, log: Optional[JsonlLogger] = None,
-                     ckpt: Optional[str] = None, batch: int = 16) -> Dict:
-    """Config 3: external correspondences, batched estimation, recall."""
+                     ckpt: Optional[str] = None, batch: int = 16,
+                     fail_after_shard: Optional[int] = None) -> Dict:
+    """Config 3: external correspondences, batched estimation, recall.
+
+    `fail_after_shard` is the fault-injection hook (SURVEY.md section 5,
+    failure detection): the process hard-exits after checkpointing that
+    shard, simulating a lost host; a rerun with the same --ckpt resumes
+    from the shard boundary.
+    """
     probs = [
         correspondence_problem(
             seed=cfg.seed + s, n=cfg.n_corr, outlier_ratio=cfg.outlier_ratio,
@@ -84,6 +91,10 @@ def run_sweep_config(cfg: RunConfig, log: Optional[JsonlLogger] = None,
             n_done += batch
             T_all = np.asarray(res.T, np.float64)
             ckptr.record(shard, dict(T=T_all))
+            if fail_after_shard is not None and shard >= fail_after_shard:
+                import os
+                print(f"[fault-injection] exiting after shard {shard}", flush=True)
+                os._exit(17)
         for b in range(batch):
             if s0 + b < cfg.n_pairs:
                 results_T[s0 + b] = T_all[b]

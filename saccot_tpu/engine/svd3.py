@@ -23,6 +23,7 @@ def umeyama(
     q: jnp.ndarray,
     w: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
+    method: str = "quat",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Weighted rigid alignment, batched over leading dims.
 
@@ -37,6 +38,13 @@ def umeyama(
         across that mesh axis — all moment sums are psum-reduced so every
         device gets the global fit. This is how the SP refinement path runs
         (SURVEY.md section 2.2).
+      method: "quat" (default) — Horn's quaternion method solved by a
+        branchless shifted matrix-power iteration: 5 batched 4x4 squarings
+        + a few power steps, all MXU/VPU arithmetic, no data-dependent
+        loops. Orders of magnitude faster under vmap on TPU than "svd"
+        (jnp.linalg.svd's while-loop Jacobi), and quaternions produce a
+        proper rotation by construction (no reflection fix needed).
+        "svd" keeps the classic Procrustes path for cross-checking.
 
     Returns:
       R: [..., 3, 3] rotations, t: [..., 3] translations.
@@ -63,9 +71,79 @@ def umeyama(
         )
     )
 
-    R = _procrustes_rotation(H)
+    if method == "quat":
+        R = _quaternion_rotation(H)
+    else:
+        R = _procrustes_rotation(H)
     t = qbar - jnp.einsum("...ij,...j->...i", R, pbar)
     return R, t
+
+
+def _quaternion_rotation(H: jnp.ndarray) -> jnp.ndarray:
+    """Optimal rotation from the cross-covariance via Horn's quaternion.
+
+    The rotation maximizing trace(R^T H) is R(q*) where q* is the dominant
+    eigenvector of Horn's symmetric 4x4 matrix N(H). We find it with a
+    shift-and-square power method: A = N/|N|_F + 1.05 I is PSD with the
+    same dominant eigenvector; eight squarings give A^256, whose largest
+    column is the eigenvector to ~((l2+s)/(l1+s))^256 accuracy; two plain
+    power steps polish. Everything is batched matmuls — no SVD/eigh
+    while-loops, vmap-friendly.
+
+    Degeneracy: for near-collinear point sets the top two eigenvalues of N
+    coalesce (the rotation about the line is unobservable) and the returned
+    rotation is an arbitrary member of the optimal set — exactly like SVD
+    on the same input. Such hypotheses score badly downstream and are
+    rejected, mirroring the reference's degenerate-sample handling.
+    """
+    Sxx, Sxy, Sxz = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    Syx, Syy, Syz = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    Szx, Szy, Szz = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+
+    N = jnp.stack(
+        [
+            jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx], axis=-1),
+            jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz], axis=-1),
+            jnp.stack([Szx - Sxz, Sxy + Syx, Syy - Sxx - Szz, Syz + Szy], axis=-1),
+            jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, Szz - Sxx - Syy], axis=-1),
+        ],
+        axis=-2,
+    )  # [..., 4, 4], symmetric; |eig| <= |N|_F
+
+    fro = jnp.sqrt(jnp.sum(N * N, axis=(-2, -1), keepdims=True)) + 1e-12
+    eye = jnp.eye(4, dtype=H.dtype)
+    # Minimal PSD shift: normalized eigenvalues lie in [-1, 1], so +1.05
+    # makes A PSD while barely compressing the top gap (a large shift would
+    # stall the power iteration).
+    A = N / fro + 1.05 * eye
+
+    mm = lambda a, b: jnp.einsum(
+        "...ij,...jk->...ik", a, b, precision=jax.lax.Precision.HIGHEST
+    )
+    for _ in range(8):  # A^256, renormalized to avoid overflow
+        A = mm(A, A)
+        A = A / (jnp.sqrt(jnp.sum(A * A, axis=(-2, -1), keepdims=True)) + 1e-30)
+
+    # Dominant eigenvector ~ the largest column of A^32.
+    col_n = jnp.sqrt(jnp.sum(A * A, axis=-2))  # [..., 4]
+    best = jnp.argmax(col_n, axis=-1)
+    v = jnp.take_along_axis(A, best[..., None, None], axis=-1)[..., 0]  # [..., 4]
+
+    B = N / fro + 1.05 * eye
+    for _ in range(2):  # polish
+        v = jnp.einsum("...ij,...j->...i", B, v, precision=jax.lax.Precision.HIGHEST)
+        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-30)
+
+    qw, qx, qy, qz = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
+    R = jnp.stack(
+        [
+            jnp.stack([1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)], axis=-1),
+            jnp.stack([2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qw * qx)], axis=-1),
+            jnp.stack([2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx * qx + qy * qy)], axis=-1),
+        ],
+        axis=-2,
+    )
+    return R
 
 
 def _procrustes_rotation(H: jnp.ndarray) -> jnp.ndarray:

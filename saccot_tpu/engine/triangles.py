@@ -150,22 +150,31 @@ def _pool_from_anchor_rows(
     )  # [C, 3] with i<j<k
     score = score.reshape(-1)
 
-    # Lexicographic de-dup: sort by (i, j, k), invalidate non-first copies.
-    # All copies of one triangle carry the same score, so keeping the first
-    # is exact.
-    si, sj, sk, ss = lax.sort(
-        (tri[:, 0], tri[:, 1], tri[:, 2], score), num_keys=3
-    )
-    dup = jnp.concatenate(
-        [
-            jnp.zeros((1,), dtype=bool),
-            (si[1:] == si[:-1]) & (sj[1:] == sj[:-1]) & (sk[1:] == sk[:-1]),
-        ]
-    )
-    ss = jnp.where(dup, -1.0, ss)
+    if params.dedup_triangles:
+        # Lexicographic de-dup: sort by (i, j, k), invalidate non-first
+        # copies. All copies of one triangle carry the same score, so
+        # keeping the first is exact.
+        si, sj, sk, ss = lax.sort(
+            (tri[:, 0], tri[:, 1], tri[:, 2], score), num_keys=3
+        )
+        dup = jnp.concatenate(
+            [
+                jnp.zeros((1,), dtype=bool),
+                (si[1:] == si[:-1]) & (sj[1:] == sj[:-1]) & (sk[1:] == sk[:-1]),
+            ]
+        )
+        ss = jnp.where(dup, -1.0, ss)
+        tri_cols = (si, sj, sk)
+    else:
+        ss = score
+        tri_cols = (tri[:, 0], tri[:, 1], tri[:, 2])
 
-    top_s, top_i = lax.top_k(ss, min(K, ss.shape[0]))
-    triples = jnp.stack([si[top_i], sj[top_i], sk[top_i]], axis=-1)
+    k_sel = min(K, ss.shape[0])
+    if params.approx_topk:
+        top_s, top_i = lax.approx_max_k(ss, k_sel)
+    else:
+        top_s, top_i = lax.top_k(ss, k_sel)
+    triples = jnp.stack([c[top_i] for c in tri_cols], axis=-1)
     if top_s.shape[0] < K:  # pad to the static budget
         pad = K - top_s.shape[0]
         triples = jnp.concatenate([triples, jnp.zeros((pad, 3), jnp.int32)], axis=0)

@@ -133,6 +133,11 @@ def load_pcd(path: str) -> np.ndarray:
 
 def load_kitti_bin(path: str) -> np.ndarray:
     """KITTI velodyne scan: packed float32 x,y,z,reflectance -> [N, 3]."""
+    from saccot_tpu.io import native
+
+    fast = native.load_kitti_bin(path) if native.available() else None
+    if fast is not None:
+        return fast
     raw = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
     return np.ascontiguousarray(raw[:, :3])
 

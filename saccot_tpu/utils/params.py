@@ -55,6 +55,18 @@ class SacCotParams:
     degree_block_rows: int = 256   # row-block size of the virtual compat matrix
     score_block_k: int = 256       # hypothesis-axis block size in scoring
 
+    # --- triangle-pool fast paths ---------------------------------------
+    # dedup_triangles=True sorts candidates lexicographically to drop
+    # duplicate triangles (exact, oracle-parity semantics). False skips the
+    # sort; a triangle reachable from up to 3 anchors then occupies up to 3
+    # of the K slots — harmless for estimation (same argmax landscape),
+    # ~2x faster pool stage.
+    dedup_triangles: bool = True
+    # approx_topk=True uses lax.approx_max_k for the candidate->K selection
+    # (TPU-optimized partial reduction, recall ~0.95 of the exact top-K
+    # ranking; the estimator only needs enough well-ranked triangles).
+    approx_topk: bool = False
+
     def __post_init__(self):
         if self.compat_tau <= 0:
             raise ValueError("compat_tau must be positive")

@@ -124,3 +124,25 @@ def test_cli_slam_smoke():
     metrics = json.loads(out.stdout.strip().splitlines()[-1])
     assert metrics["config"] == "slam"
     assert metrics["edges_registered"] == metrics["edges"]
+
+
+def test_fault_injection_resume(tmp_path):
+    """Kill the sweep after shard 0, rerun with the same checkpoint, verify
+    it resumes and completes (SURVEY.md section 5, failure detection)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    ckpt = str(tmp_path / "ck")
+    args = [sys.executable, "-m", "saccot_tpu.cli.main", "threedmatch", "--cpu",
+            "--pairs", "8", "--corr", "256", "--ckpt", ckpt]
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # batch=16 default means 8 pairs = 1 shard; use pairs=32 -> 2 shards
+    args[6] = "32"
+    first = subprocess.run(args + ["--fail-after-shard", "0"],
+                           capture_output=True, text=True, timeout=600, env=env, cwd=cwd)
+    assert first.returncode == 17, (first.returncode, first.stderr[-500:])
+
+    second = subprocess.run(args, capture_output=True, text=True, timeout=600,
+                            env=env, cwd=cwd)
+    assert second.returncode == 0, second.stderr[-2000:]
+    metrics = json.loads(second.stdout.strip().splitlines()[-1])
+    assert metrics["pairs"] == 32
+    assert metrics["recall"] > 0.9
