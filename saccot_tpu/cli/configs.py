@@ -43,6 +43,11 @@ class RunConfig:
     # recall criterion
     rot_thresh_deg: float = 15.0
     trans_thresh: float = 0.30
+    # U3M-style alternative criterion: RMSE of the source cloud between
+    # T_est and T_gt below rmse_mult * mesh resolution (the paper's
+    # object-scale protocol). Used when use_model_rmse is set.
+    use_model_rmse: bool = False
+    rmse_mult: float = 5.0
 
 
 _OBJ_PARAMS = SacCotParams(
@@ -65,6 +70,7 @@ CONFIGS = {
     "u3m": RunConfig(
         name="u3m", kind="pipeline", seed=100, n_pairs=12, n_points=4096,
         pipeline=_PIPE, rot_thresh_deg=5.0, trans_thresh=0.05,
+        use_model_rmse=True, rmse_mult=5.0,
     ),
     "threedmatch": RunConfig(
         name="threedmatch", kind="sweep", seed=300, n_pairs=32, n_corr=2048,

@@ -16,7 +16,9 @@ import jax.numpy as jnp
 
 from saccot_tpu.cli.configs import RunConfig
 from saccot_tpu.engine.sac_cot import register_batch
-from saccot_tpu.evaluation.metrics import ate, is_registered, registration_error
+from saccot_tpu.evaluation.metrics import (
+    ate, is_registered, model_rmse, registration_error,
+)
 from saccot_tpu.features.pipeline import register_clouds
 from saccot_tpu.io.synthetic import correspondence_problem, slam_sequence, two_view_pair
 from saccot_tpu.utils.checkpoint import SweepCheckpointer
@@ -37,12 +39,19 @@ def run_pipeline_config(cfg: RunConfig, log: Optional[JsonlLogger] = None) -> Di
         dt = time.time() - t0
         T = np.asarray(res.registration.T, np.float64)
         r, t = registration_error(T, pair["T_gt"])
-        hit = is_registered(T, pair["T_gt"], cfg.rot_thresh_deg, cfg.trans_thresh)
+        if cfg.use_model_rmse:
+            # U3M protocol: model-point RMSE under T_est vs T_gt, in mesh-
+            # resolution multiples.
+            rmse = model_rmse(T, pair["T_gt"], pair["source"].astype(np.float64))
+            hit = rmse < cfg.rmse_mult * float(res.resolution)
+        else:
+            rmse = None
+            hit = is_registered(T, pair["T_gt"], cfg.rot_thresh_deg, cfg.trans_thresh)
         ok += hit
         rot_errs.append(r); trans_errs.append(t); times.append(dt)
         if log:
             log.log(dict(config=cfg.name, pair=p, rot_err_deg=r, trans_err=t,
-                         registered=bool(hit), wall_s=dt,
+                         model_rmse=rmse, registered=bool(hit), wall_s=dt,
                          num_corr=int(res.num_correspondences),
                          num_inliers=int(res.registration.num_inliers)))
     return dict(

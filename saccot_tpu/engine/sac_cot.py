@@ -78,7 +78,10 @@ def _register_pair(
         row_offset = 0
 
     with jax.named_scope("saccot_degrees"):
-        if compat_impl == "pallas":
+        if corr_axis is not None and params.ring_compat:
+            from saccot_tpu.dist.ring import degrees_ring
+            deg_local = degrees_ring(P, Q, params, corr_axis, mask_loc=m)
+        elif compat_impl == "pallas":
             from saccot_tpu.kernels.compat import degrees_pallas
             deg_local = degrees_pallas(
                 P, Q, P_full, Q_full, params,

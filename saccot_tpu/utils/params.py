@@ -66,6 +66,10 @@ class SacCotParams:
     # (TPU-optimized partial reduction, recall ~0.95 of the exact top-K
     # ranking; the estimator only needs enough well-ranked triangles).
     approx_topk: bool = False
+    # Under correspondence-axis sharding, compute degrees with the ppermute
+    # column-block ring (dist/ring.py) instead of the point all-gather +
+    # local blocks. Same result up to f32 summation order.
+    ring_compat: bool = False
 
     def __post_init__(self):
         if self.compat_tau <= 0:

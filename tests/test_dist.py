@@ -128,3 +128,57 @@ def test_masked_padding_equivalence(eight_devices):
     E = np.asarray(res.T, np.float64) @ np.linalg.inv(np.asarray(ref.T, np.float64))
     assert se3np.rotation_angle_deg(E[:3, :3]) < 0.05
     assert not np.asarray(res.inliers)[96:].any()
+
+
+def test_scaling_harness_smoke(eight_devices):
+    from saccot_tpu.evaluation.scaling import measure_scaling
+
+    params = SacCotParams(
+        compat_tau=0.03, min_separation=0.05, inlier_tau=0.03,
+        num_anchors=32, neighbors_per_anchor=8, max_hypotheses=64,
+        degree_block_rows=64,
+    )
+    out = measure_scaling(params, n_corr=64, pairs_per_device=2, reps=2,
+                          device_counts=[1, 2, 4])
+    assert set(out["pairs_per_sec"]) == {1, 2, 4}
+    assert out["efficiency"][1] == 1.0
+    assert all(v > 0 for v in out["pairs_per_sec"].values())
+
+
+def test_ring_compat_matches_allgather(eight_devices):
+    """The ppermute ring degree schedule must equal the all-gather path."""
+    import dataclasses
+
+    prob = correspondence_problem(seed=300, n=N, outlier_ratio=0.5)
+    Pv, Qv = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    mask = jnp.ones((N,), jnp.float32)
+    mesh = make_mesh(pairs=1, corr=8)
+    ring_params = dataclasses.replace(PARAMS, ring_compat=True)
+
+    fn = jax.shard_map(
+        lambda p, q, m: register_pair_sp(p, q, ring_params, "corr", mask_shard=m),
+        mesh=mesh,
+        in_specs=(P("corr"), P("corr"), P("corr")),
+        out_specs=_sp_out_specs(),
+        check_vma=False,
+    )
+    res = jax.jit(fn)(Pv, Qv, mask)
+    ref = register_pair(Pv, Qv, PARAMS)
+    E = np.asarray(res.T, np.float64) @ np.linalg.inv(np.asarray(ref.T, np.float64))
+    assert se3np.rotation_angle_deg(E[:3, :3]) < 0.05
+    assert int(res.num_inliers) == int(ref.num_inliers)
+
+    # Degrees themselves, compared directly.
+    from saccot_tpu.dist.ring import degrees_ring
+    from saccot_tpu.engine import compat as jcompat
+
+    deg_fn = jax.shard_map(
+        lambda p, q, m: degrees_ring(p, q, PARAMS, "corr", mask_loc=m),
+        mesh=mesh,
+        in_specs=(P("corr"), P("corr"), P("corr")),
+        out_specs=P("corr"),
+        check_vma=False,
+    )
+    deg_ring = jax.jit(deg_fn)(Pv, Qv, mask)
+    deg_ref = jcompat.degrees(Pv, Qv, Pv, Qv, PARAMS, mask_rows=mask, mask_cols=mask)
+    np.testing.assert_allclose(np.asarray(deg_ring), np.asarray(deg_ref), rtol=1e-5, atol=1e-4)
