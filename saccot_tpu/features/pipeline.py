@@ -44,10 +44,12 @@ class PipelineConfig:
     normal_k: int = 16
 
     # keypoints
+    keypoints: str = "iss"           # "iss" | "harris"
     iss_salient_mult: float = 4.0
     iss_nms_mult: float = 3.0
     iss_gamma21: float = 0.975
     iss_gamma32: float = 0.975
+    harris_k: float = 0.04
     max_keypoints: int = 1024
 
     # descriptors
@@ -71,6 +73,8 @@ class PipelineConfig:
     def __post_init__(self):
         if self.descriptor not in ("shot", "fpfh"):
             raise ValueError(f"unknown descriptor {self.descriptor!r}")
+        if self.keypoints not in ("iss", "harris"):
+            raise ValueError(f"unknown keypoint detector {self.keypoints!r}")
 
 
 class PipelineResult(NamedTuple):
@@ -89,15 +93,28 @@ def extract_features(
 ) -> Tuple[Keypoints, jnp.ndarray]:
     """Keypoints + descriptors for one cloud. pr: mesh resolution scalar."""
     normals = estimate_normals(points, k=cfg.normal_k, mask=mask)
-    kps = iss_keypoints(
-        points,
-        salient_radius=cfg.iss_salient_mult * pr,
-        nms_radius=cfg.iss_nms_mult * pr,
-        max_keypoints=cfg.max_keypoints,
-        gamma21=cfg.iss_gamma21,
-        gamma32=cfg.iss_gamma32,
-        mask=mask,
-    )
+    if cfg.keypoints == "harris":
+        from saccot_tpu.features.harris import harris_keypoints
+
+        kps = harris_keypoints(
+            points,
+            normals,
+            radius=cfg.iss_salient_mult * pr,
+            nms_radius=cfg.iss_nms_mult * pr,
+            max_keypoints=cfg.max_keypoints,
+            harris_k=cfg.harris_k,
+            mask=mask,
+        )
+    else:
+        kps = iss_keypoints(
+            points,
+            salient_radius=cfg.iss_salient_mult * pr,
+            nms_radius=cfg.iss_nms_mult * pr,
+            max_keypoints=cfg.max_keypoints,
+            gamma21=cfg.iss_gamma21,
+            gamma32=cfg.iss_gamma32,
+            mask=mask,
+        )
     r_desc = cfg.descriptor_radius_mult * pr
     if cfg.descriptor == "shot":
         desc = shot_descriptors(points, normals, kps.idx, r_desc, k=cfg.descriptor_k, mask=mask)

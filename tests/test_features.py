@@ -137,3 +137,69 @@ def test_pipeline_end_to_end_two_view():
     trans_err = np.linalg.norm(E[:3, 3])
     assert rot_err < 5.0, (rot_err, trans_err, int(res.num_correspondences))
     assert trans_err < 0.05, (rot_err, trans_err)
+
+
+def test_harris_keypoints_repeatability():
+    from saccot_tpu.features.harris import harris_keypoints
+
+    cloud = blob_cloud(np.random.default_rng(13), 3000).astype(np.float32)
+    pr = float(mesh_resolution(jnp.asarray(cloud)))
+    T = se3np.random_transform(np.random.default_rng(14))
+    cloud2 = se3np.apply_T(T, cloud).astype(np.float32)
+
+    n1 = estimate_normals(jnp.asarray(cloud), k=16)
+    n2 = estimate_normals(jnp.asarray(cloud2), k=16)
+    kw = dict(radius=6 * pr, nms_radius=4 * pr, max_keypoints=128, k=48)
+    kp1 = harris_keypoints(jnp.asarray(cloud), n1, **kw)
+    kp2 = harris_keypoints(jnp.asarray(cloud2), n2, **kw)
+    c1, c2 = int(kp1.valid.sum()), int(kp2.valid.sum())
+    assert c1 > 10
+    s1 = set(np.asarray(kp1.idx)[np.asarray(kp1.valid)].tolist())
+    s2 = set(np.asarray(kp2.idx)[np.asarray(kp2.valid)].tolist())
+    overlap = len(s1 & s2) / max(min(c1, c2), 1)
+    assert overlap > 0.6, (c1, c2, overlap)
+
+
+def test_external_descriptor_roundtrip(tmp_path):
+    from saccot_tpu.io.external import (
+        correspondences_from_descriptors, load_descriptors_npz, save_descriptors_npz,
+    )
+    from saccot_tpu.engine import register_pair
+    from saccot_tpu.io.synthetic import correspondence_problem
+
+    # Fabricate "learned" descriptors: GT-corresponding points get similar
+    # random vectors, outliers get independent ones.
+    rng = np.random.default_rng(15)
+    prob = correspondence_problem(seed=15, n=256, outlier_ratio=0.3)
+    D = 32
+    base = rng.normal(size=(256, D)).astype(np.float32)
+    d_src = base + 0.05 * rng.normal(size=base.shape).astype(np.float32)
+    d_tgt = base.copy()
+    out = ~prob["gt_inliers"]
+    d_tgt[out] = rng.normal(size=(out.sum(), D)).astype(np.float32)
+
+    save_descriptors_npz(tmp_path / "src.npz", prob["P"], d_src)
+    save_descriptors_npz(tmp_path / "tgt.npz", prob["Q"], d_tgt)
+    src = load_descriptors_npz(str(tmp_path / "src.npz"))
+    tgt = load_descriptors_npz(str(tmp_path / "tgt.npz"))
+
+    P, Q, mask = correspondences_from_descriptors(src, tgt, max_correspondences=256)
+    params = SacCotParams(compat_tau=0.03, min_separation=0.05, inlier_tau=0.03,
+                          num_anchors=64, neighbors_per_anchor=10, max_hypotheses=256)
+    res = register_pair(P, Q, params, mask=mask)
+    E = np.asarray(res.T, np.float64) @ np.linalg.inv(prob["T_gt"])
+    assert se3np.rotation_angle_deg(E[:3, :3]) < 2.0
+
+
+def test_pipeline_harris_variant():
+    pair = two_view_pair(seed=21, n_points=3000, overlap=0.85, noise=0.002)
+    cfg = PipelineConfig(
+        keypoints="harris", normal_k=16, iss_salient_mult=5.0, iss_nms_mult=3.0,
+        max_keypoints=384, descriptor="fpfh", descriptor_radius_mult=10.0,
+        descriptor_k=48, max_correspondences=384,
+        compat_mult=3.0, min_sep_mult=6.0, inlier_mult=3.0,
+        estimator=SacCotParams(num_anchors=96, neighbors_per_anchor=10, max_hypotheses=384),
+    )
+    res = register_clouds(jnp.asarray(pair["source"]), jnp.asarray(pair["target"]), cfg)
+    E = np.asarray(res.registration.T, np.float64) @ np.linalg.inv(pair["T_gt"])
+    assert se3np.rotation_angle_deg(E[:3, :3]) < 5.0, int(res.num_correspondences)
