@@ -192,3 +192,25 @@ def register_clouds(
 ) -> PipelineResult:
     """End-to-end: two raw clouds -> rigid transform (target = T * source)."""
     return _register_clouds(src, tgt, cfg, src_mask, tgt_mask)
+
+
+def register_clouds_batch(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    cfg: PipelineConfig,
+    src_mask: Optional[jnp.ndarray] = None,
+    tgt_mask: Optional[jnp.ndarray] = None,
+) -> PipelineResult:
+    """vmap of the full pipeline over a leading batch of cloud pairs.
+
+    src/tgt: [B, N, 3]; masks optional [B, N]. This is the unit a
+    pipeline-level sweep DP-shards over the "pairs" mesh axis, mirroring
+    engine.sac_cot.register_batch for raw-cloud inputs.
+    """
+    B = src.shape[0]
+    if src_mask is None:
+        src_mask = jnp.ones(src.shape[:2], jnp.float32)
+    if tgt_mask is None:
+        tgt_mask = jnp.ones(tgt.shape[:2], jnp.float32)
+    fn = lambda s, t, sm, tm: _register_clouds(s, t, cfg, sm, tm)
+    return jax.vmap(fn)(src, tgt, src_mask, tgt_mask)

@@ -203,3 +203,25 @@ def test_pipeline_harris_variant():
     res = register_clouds(jnp.asarray(pair["source"]), jnp.asarray(pair["target"]), cfg)
     E = np.asarray(res.registration.T, np.float64) @ np.linalg.inv(pair["T_gt"])
     assert se3np.rotation_angle_deg(E[:3, :3]) < 5.0, int(res.num_correspondences)
+
+
+def test_pipeline_batch_vmap():
+    from saccot_tpu.features.pipeline import register_clouds_batch
+    import jax
+
+    pairs = [two_view_pair(seed=30 + s, n_points=2000, overlap=0.85, noise=0.002)
+             for s in range(2)]
+    # Pad views to a common static size.
+    n = min(min(p["source"].shape[0], p["target"].shape[0]) for p in pairs)
+    src = jnp.stack([jnp.asarray(p["source"][:n]) for p in pairs])
+    tgt = jnp.stack([jnp.asarray(p["target"][:n]) for p in pairs])
+    cfg = PipelineConfig(
+        normal_k=16, iss_salient_mult=5.0, iss_nms_mult=3.0, max_keypoints=256,
+        descriptor="shot", descriptor_radius_mult=10.0, descriptor_k=48,
+        max_correspondences=256, compat_mult=3.0, min_sep_mult=6.0, inlier_mult=3.0,
+        estimator=SacCotParams(num_anchors=64, neighbors_per_anchor=10, max_hypotheses=256),
+    )
+    res = jax.jit(lambda a, b: register_clouds_batch(a, b, cfg))(src, tgt)
+    for b, p in enumerate(pairs):
+        E = np.asarray(res.registration.T[b], np.float64) @ np.linalg.inv(p["T_gt"])
+        assert se3np.rotation_angle_deg(E[:3, :3]) < 5.0
