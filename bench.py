@@ -30,6 +30,15 @@ def log(*a):
 
 def main():
     import jax
+
+    # Persistent compilation cache: first-compile of the full estimator can
+    # take minutes on a cold backend; subsequent bench runs reuse it.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/saccot_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from saccot_tpu.engine.sac_cot import register_batch

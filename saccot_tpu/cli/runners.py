@@ -128,13 +128,15 @@ def run_kitti_config(cfg: RunConfig, log: Optional[JsonlLogger] = None) -> Dict:
     from saccot_tpu.engine.sac_cot import register_pair
 
     flags, rots, trans, times = [], [], [], []
+    # Scene-scale spread (KITTI frames span ~100 m); cfg.noise is metric, so
+    # the generator (unit-blob coordinates) gets noise / scale.
+    scale = 30.0
     for s in range(cfg.n_pairs):
         prob = correspondence_problem(
             seed=cfg.seed + s, n=cfg.n_corr, outlier_ratio=cfg.outlier_ratio,
-            noise=cfg.noise, n_points=4 * cfg.n_corr, max_angle=0.3, max_trans=3.0,
+            noise=cfg.noise / scale, n_points=4 * cfg.n_corr, max_angle=0.3,
+            max_trans=3.0,
         )
-        # Scene-scale spread (KITTI frames span ~100 m).
-        scale = 30.0
         P = jnp.asarray(prob["P"] * scale)
         Q = jnp.asarray(prob["Q"] * scale)
         T_gt = prob["T_gt"].copy()
