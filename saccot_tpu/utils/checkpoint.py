@@ -69,3 +69,18 @@ class SweepCheckpointer:
             for k, v in self.done[idx].items():
                 out.setdefault(k, []).append(v)
         return {k: np.concatenate(v, axis=0) for k, v in out.items()}
+
+
+def save_slam_state(path: str, poses, landmarks=None, gn_iter: int = 0) -> None:
+    """Checkpoint SLAM state (poses, landmarks, GN iterate) for mid-solve resume."""
+    import numpy as np
+
+    state = {"poses": np.asarray(poses), "gn_iter": np.asarray(gn_iter)}
+    if landmarks is not None:
+        state["landmarks"] = np.asarray(landmarks)
+    save(path, state)
+
+
+def restore_slam_state(path: str):
+    """Restore a SLAM checkpoint, or None."""
+    return restore(path)

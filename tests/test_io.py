@@ -146,3 +146,16 @@ def test_fault_injection_resume(tmp_path):
     metrics = json.loads(second.stdout.strip().splitlines()[-1])
     assert metrics["pairs"] == 32
     assert metrics["recall"] > 0.9
+
+
+def test_slam_state_checkpoint(tmp_path):
+    from saccot_tpu.utils.checkpoint import restore_slam_state, save_slam_state
+
+    poses = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    poses[2, :3, 3] = [1, 2, 3]
+    lm = np.arange(12, dtype=np.float32).reshape(4, 3)
+    save_slam_state(str(tmp_path / "slam"), poses, lm, gn_iter=3)
+    state = restore_slam_state(str(tmp_path / "slam"))
+    np.testing.assert_allclose(state["poses"], poses)
+    np.testing.assert_allclose(state["landmarks"], lm)
+    assert int(state["gn_iter"]) == 3
