@@ -15,7 +15,6 @@ use one process per host via `jax.distributed.initialize`; no NCCL/MPI.
 
 from __future__ import annotations
 
-import math
 import os
 from typing import Optional, Sequence
 

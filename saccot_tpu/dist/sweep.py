@@ -17,7 +17,7 @@ corr=1 degenerates to pure DP with zero collectives in the hot loop.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Optional
 
 import jax

@@ -15,7 +15,7 @@ The reference's evaluation layer (SURVEY.md sections 1.2 L5, 2.1
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Optional, Sequence, Tuple
+from typing import Dict, Iterable, Tuple
 
 import numpy as np
 

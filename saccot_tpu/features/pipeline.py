@@ -25,7 +25,7 @@ from saccot_tpu.features.normals import estimate_normals
 from saccot_tpu.features.resolution import mesh_resolution
 from saccot_tpu.features.shot import shot_descriptors
 from saccot_tpu.features.voxel import voxel_downsample
-from saccot_tpu.match.topk import match_descriptors, mutual_filter, gather_correspondences
+from saccot_tpu.match.topk import match_descriptors, mutual_filter
 from saccot_tpu.utils.params import SacCotParams
 
 

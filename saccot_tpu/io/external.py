@@ -10,12 +10,12 @@ correspondences, so any descriptor source plugs in here.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 import jax.numpy as jnp
 
-from saccot_tpu.match.topk import Matches, match_descriptors, mutual_filter
+from saccot_tpu.match.topk import match_descriptors, mutual_filter
 
 
 def load_descriptors_npz(path: str) -> Dict[str, np.ndarray]:

@@ -21,7 +21,7 @@ clique enumeration, which is what the oracle-parity tests exercise.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+
 
 
 @dataclasses.dataclass(frozen=True)
