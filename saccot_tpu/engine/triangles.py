@@ -47,19 +47,15 @@ class TrianglePool(NamedTuple):
     valid: jnp.ndarray    # [K] bool
 
 
-def edge_scores_from_points(
-    P: jnp.ndarray,
-    Q: jnp.ndarray,
-    idx_a: jnp.ndarray,
-    idx_b: jnp.ndarray,
+def pair_scores(
+    pa: jnp.ndarray,
+    pb: jnp.ndarray,
+    qa: jnp.ndarray,
+    qb: jnp.ndarray,
     params: SacCotParams,
 ) -> jnp.ndarray:
-    """Compatibility score of edges (idx_a, idx_b), gathering only point rows.
-
-    Same formula as `compat.score_block` but elementwise over index arrays.
-    """
-    pa, pb = P[idx_a], P[idx_b]
-    qa, qb = Q[idx_a], Q[idx_b]
+    """Elementwise compatibility score of point pairs (same formula as
+    `compat.score_block`, shared so the threshold logic lives once)."""
     dp = jnp.linalg.norm(pa - pb, axis=-1)
     dq = jnp.linalg.norm(qa - qb, axis=-1)
     delta = jnp.abs(dp - dq)
@@ -67,9 +63,20 @@ def edge_scores_from_points(
         (delta < params.compat_tau)
         & (dp > params.min_separation)
         & (dq > params.min_separation)
-        & (idx_a != idx_b)
     )
     return jnp.where(ok, 1.0 - delta / params.compat_tau, 0.0)
+
+
+def edge_scores_from_points(
+    P: jnp.ndarray,
+    Q: jnp.ndarray,
+    idx_a: jnp.ndarray,
+    idx_b: jnp.ndarray,
+    params: SacCotParams,
+) -> jnp.ndarray:
+    """Compatibility score of edges (idx_a, idx_b), gathering only point rows."""
+    s = pair_scores(P[idx_a], P[idx_b], Q[idx_a], Q[idx_b], params)
+    return jnp.where(idx_a != idx_b, s, 0.0)
 
 
 def triangle_pool_from_points(
@@ -88,9 +95,15 @@ def triangle_pool_from_points(
     N = P.shape[0]
     A = min(params.num_anchors, N)
     _, anchors = lax.top_k(deg, A)
+    # mask_rows matters: when fewer than A correspondences are valid (the
+    # common padded-pipeline case), top_k must still fill the anchor budget
+    # with masked degree-0 nodes — without zeroing their rows, garbage
+    # triangles through padded points would enter the pool as "valid".
     rows = compat_mod.score_block(
         P[anchors], Q[anchors], P, Q, params,
-        row_ids=anchors, mask_cols=mask,
+        row_ids=anchors,
+        mask_rows=None if mask is None else mask[anchors],
+        mask_cols=mask,
     )  # [A, N]
     return _pool_from_anchor_rows(anchors, rows, P, Q, params)
 
@@ -142,18 +155,12 @@ def _pool_from_anchor_rows(
         # cuts dynamic-gather volume by the pair/neighbor ratio (~60x).
         nbr_p = P[nbr_idx]  # [A, B, 3]
         nbr_q = Q[nbr_idx]
-        pa, pb = nbr_p[:, b1, :], nbr_p[:, b2, :]  # static indices
-        qa, qb = nbr_q[:, b1, :], nbr_q[:, b2, :]
-        dp = jnp.linalg.norm(pa - pb, axis=-1)
-        dq = jnp.linalg.norm(qa - qb, axis=-1)
-        delta = jnp.abs(dp - dq)
-        ok = (
-            (delta < params.compat_tau)
-            & (dp > params.min_separation)
-            & (dq > params.min_separation)
-            & (j != k)
+        s_jk = pair_scores(
+            nbr_p[:, b1, :], nbr_p[:, b2, :],  # static indices
+            nbr_q[:, b1, :], nbr_q[:, b2, :],
+            params,
         )
-        s_jk = jnp.where(ok, 1.0 - delta / params.compat_tau, 0.0)
+        s_jk = jnp.where(j != k, s_jk, 0.0)
     else:
         assert S is not None, "need either points or the dense S"
         s_jk = S[j, k]

@@ -63,11 +63,14 @@ def match_descriptors(
     if mask_tgt is not None:
         d2 = jnp.where(mask_tgt.astype(bool)[None, :], d2, BIG)
 
-    # Two smallest target distances per source row (for the ratio test).
-    neg_top2, idx_top2 = lax.top_k(-d2, 2)
+    # Two smallest target distances per source row (for the ratio test);
+    # degenerate single-target clouds get d2nd == d1 (ratio test then
+    # rejects everything, which is the only sane answer).
+    k2 = min(2, d2.shape[1])
+    neg_top2, idx_top2 = lax.top_k(-d2, k2)
     nn_idx = idx_top2[:, 0]
     d1 = -neg_top2[:, 0]
-    d2nd = -neg_top2[:, 1]
+    d2nd = -neg_top2[:, k2 - 1]
 
     valid = jnp.ones(desc_src.shape[0], dtype=bool)
     if mask_src is not None:
@@ -102,11 +105,12 @@ def mutual_filter(matches: Matches, max_matches: int) -> Matches:
     score = jnp.where(matches.valid, -matches.distance, -jnp.inf)
     _, order = lax.top_k(score, min(max_matches, score.shape[0]))
     take = lambda x: x[order]
+    valid = take(matches.valid)
     return Matches(
         src_idx=take(matches.src_idx),
         tgt_idx=take(matches.tgt_idx),
-        distance=take(matches.distance),
-        valid=take(matches.valid),
+        distance=jnp.where(valid, take(matches.distance), jnp.inf),
+        valid=valid,
     )
 
 

@@ -130,7 +130,7 @@ def bundle_adjust(
     initial_cost = ba_cost(prob.poses, prob.landmarks, prob, axis_name)
 
     def gn_step(state, _):
-        poses, landmarks = state
+        poses, landmarks, cost = state  # cost of current iterate, carried
         H, b, Hll_inv, bl, W = _gn_system(poses, landmarks, prob, M, lm_damping)
         if axis_name is not None:
             H = lax.psum(H, axis_name)
@@ -152,19 +152,19 @@ def bundle_adjust(
         new_landmarks = landmarks + dl
         # Monotonicity guard (cost is global under sharding, so the accept
         # decision is identical on every device).
-        better = ba_cost(new_poses, new_landmarks, prob, axis_name) <= ba_cost(
-            poses, landmarks, prob, axis_name
-        )
+        new_cost = ba_cost(new_poses, new_landmarks, prob, axis_name)
+        better = new_cost <= cost
         poses = jnp.where(better, new_poses, poses)
         landmarks = jnp.where(better, new_landmarks, landmarks)
-        return (poses, landmarks), None
+        cost = jnp.where(better, new_cost, cost)
+        return (poses, landmarks, cost), None
 
-    (poses, landmarks), _ = lax.scan(
-        gn_step, (prob.poses, prob.landmarks), None, length=iters
+    (poses, landmarks, final_cost), _ = lax.scan(
+        gn_step, (prob.poses, prob.landmarks, initial_cost), None, length=iters
     )
     return BAResult(
         poses=poses,
         landmarks=landmarks,
         initial_cost=initial_cost,
-        final_cost=ba_cost(poses, landmarks, prob, axis_name),
+        final_cost=final_cost,
     )

@@ -40,6 +40,7 @@ class SequenceResult(NamedTuple):
     pose_graph_result: PGOResult
     registration: RegistrationResult  # batched per-edge results
     ba_result: Optional[BAResult]
+    num_failed_edges: int            # edges below min_inliers / unsuccessful
 
 
 def registrations_to_graph(
@@ -53,6 +54,14 @@ def registrations_to_graph(
     Edge weight = inlier count (a crude but effective information proxy);
     failed edges (few inliers / no triangles) get weight ~0 so they don't
     corrupt the solve but keep static shapes.
+
+    Caveat surfaced via SequenceResult.num_failed_edges: a *failed odometry*
+    edge leaves every later pose initialized at the break point (its
+    identity measurement is still chained) and, absent a loop closure
+    spanning the gap, only damping constrains those poses — callers must
+    treat a nonzero failed-edge count on the odometry chain as a broken
+    trajectory segment, exactly as the reference's serial pipeline would
+    produce an unregistered pair.
     """
     Z = se3.inv(reg.T)  # measurement T_i^{-1} T_j (see module docstring)
     ok = reg.success & (reg.num_inliers >= min_inliers)
@@ -142,6 +151,9 @@ def run_sequence(
     reg = register_batch(jnp.asarray(edge_P), jnp.asarray(edge_Q), params)
     graph = registrations_to_graph(n_scans, jnp.asarray(edges), reg)
     pgo = optimize_pose_graph(graph, iters=pgo_iters)
+    n_failed = int(
+        np.sum(~(np.asarray(reg.success) & (np.asarray(reg.num_inliers) >= 5)))
+    )
 
     ba_res = None
     poses = pgo.poses
@@ -157,4 +169,5 @@ def run_sequence(
         pose_graph_result=pgo,
         registration=reg,
         ba_result=ba_res,
+        num_failed_edges=n_failed,
     )

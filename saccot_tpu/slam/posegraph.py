@@ -125,7 +125,8 @@ def optimize_pose_graph(
     M = graph.poses.shape[0]
     initial_cost = graph_cost(graph.poses, graph)
 
-    def gn_step(poses, _):
+    def gn_step(state, _):
+        poses, cost = state  # cost of `poses`, carried to avoid recompute
         H, b = _assemble_normal_system(poses, graph)
         # Gauge: pin pose 0 by masking its rows/cols and unit diagonal.
         free = (jnp.arange(M * 6) >= 6).astype(poses.dtype)
@@ -136,14 +137,18 @@ def optimize_pose_graph(
         new_poses = se3.compose(poses, se3.exp_se3(dx))
         # Guard: reject a step that increases cost (keeps GN monotone even
         # on nasty graphs; branchless select).
-        better = graph_cost(new_poses, graph) <= graph_cost(poses, graph)
+        new_cost = graph_cost(new_poses, graph)
+        better = new_cost <= cost
         poses = jnp.where(better, new_poses, poses)
-        return poses, None
+        cost = jnp.where(better, new_cost, cost)
+        return (poses, cost), None
 
-    poses, _ = jax.lax.scan(gn_step, graph.poses, None, length=iters)
+    (poses, final_cost), _ = jax.lax.scan(
+        gn_step, (graph.poses, initial_cost), None, length=iters
+    )
     return PGOResult(
         poses=poses,
-        final_cost=graph_cost(poses, graph),
+        final_cost=final_cost,
         initial_cost=initial_cost,
     )
 

@@ -166,3 +166,31 @@ def test_register_batch_vmap(prob):
     for b, p in enumerate(probs):
         E = np.asarray(res.T[b], dtype=np.float64) @ np.linalg.inv(p["T_gt"])
         assert se3np.rotation_angle_deg(E[:3, :3]) < 2.0
+
+
+def test_masked_anchors_produce_no_valid_triangles():
+    """Regression: when valid correspondences < num_anchors, top_k must fill
+    the anchor budget with masked nodes, and none of their triangles may be
+    marked valid (code-review finding: missing mask_rows)."""
+    from saccot_tpu.engine.compat import degrees
+    from saccot_tpu.engine.triangles import triangle_pool_from_points
+
+    prob = correspondence_problem(seed=77, n=64, outlier_ratio=0.2)
+    P, Q = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    mask = jnp.asarray((np.arange(64) < 8).astype(np.float32))  # 8 valid
+    params = SacCotParams(
+        compat_tau=0.03, min_separation=0.05, inlier_tau=0.03,
+        num_anchors=32, neighbors_per_anchor=8, max_hypotheses=64,
+    )
+    deg = degrees(P, Q, P, Q, params, mask_rows=mask, mask_cols=mask)
+    pool = triangle_pool_from_points(P, Q, deg, params, mask=mask)
+    tri = np.asarray(pool.triples)[np.asarray(pool.valid)]
+    assert (tri < 8).all(), tri
+
+
+def test_num_candidate_triangles_matches_pool_template():
+    from saccot_tpu.utils.params import num_candidate_triangles
+
+    p = SacCotParams(num_anchors=7, neighbors_per_anchor=5)
+    b1, b2 = np.triu_indices(5, k=1)
+    assert num_candidate_triangles(p) == 7 * len(b1)

@@ -225,3 +225,26 @@ def test_pipeline_batch_vmap():
     for b, p in enumerate(pairs):
         E = np.asarray(res.registration.T[b], np.float64) @ np.linalg.inv(p["T_gt"])
         assert se3np.rotation_angle_deg(E[:3, :3]) < 5.0
+
+
+def test_mutual_filter_inf_contract(rng):
+    from saccot_tpu.match.topk import mutual_filter
+
+    d1 = rng.normal(size=(20, 8)).astype(np.float32)
+    d2 = rng.normal(size=(20, 8)).astype(np.float32)
+    m = match_descriptors(jnp.asarray(d1), jnp.asarray(d2), mutual=True)
+    mf = mutual_filter(m, 20)
+    dist = np.asarray(mf.distance)
+    valid = np.asarray(mf.valid)
+    assert np.isinf(dist[~valid]).all()
+    assert np.isfinite(dist[valid]).all()
+
+
+def test_match_single_target_row(rng):
+    d1 = rng.normal(size=(5, 8)).astype(np.float32)
+    d2 = rng.normal(size=(1, 8)).astype(np.float32)
+    m = match_descriptors(jnp.asarray(d1), jnp.asarray(d2), mutual=False)
+    assert (np.asarray(m.tgt_idx) == 0).all()
+    # ratio test on a single target rejects everything (d2nd == d1)
+    m2 = match_descriptors(jnp.asarray(d1), jnp.asarray(d2), mutual=False, ratio_test=0.9)
+    assert not np.asarray(m2.valid).any()
