@@ -20,7 +20,15 @@ from saccot_tpu.utils.logging import JsonlLogger
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="saccot_tpu", description=__doc__)
-    ap.add_argument("config", choices=sorted(CONFIGS), help="benchmark config")
+    ap.add_argument(
+        "config", choices=sorted(CONFIGS) + ["files"],
+        help="benchmark config, or 'files' to register two cloud files",
+    )
+    ap.add_argument("--src", type=str, default=None, help="source cloud file (files mode)")
+    ap.add_argument("--tgt", type=str, default=None, help="target cloud file (files mode)")
+    ap.add_argument("--descriptor", choices=["shot", "fpfh"], default="shot")
+    ap.add_argument("--gt", type=str, default=None,
+                    help="optional 4x4 ground-truth transform (whitespace text) to evaluate against")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--pairs", type=int, default=None, help="override pair count")
     ap.add_argument("--scans", type=int, default=None, help="override scan count (slam)")
@@ -38,6 +46,16 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     init_distributed()
+
+    if args.config == "files":
+        from saccot_tpu.cli.files import register_files
+
+        if not args.src or not args.tgt:
+            ap.error("files mode requires --src and --tgt")
+        metrics = register_files(args.src, args.tgt, descriptor=args.descriptor,
+                                 gt_path=args.gt)
+        print(json.dumps(metrics))
+        return 0
 
     cfg = CONFIGS[args.config]
     overrides = {}

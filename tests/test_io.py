@@ -159,3 +159,40 @@ def test_slam_state_checkpoint(tmp_path):
     np.testing.assert_allclose(state["poses"], poses)
     np.testing.assert_allclose(state["landmarks"], lm)
     assert int(state["gn_iter"]) == 3
+
+
+def test_cli_files_mode(tmp_path):
+    """Register two PLY files end-to-end through the CLI (the reference's
+    primary user workflow)."""
+    from saccot_tpu.io.synthetic import two_view_pair
+    from saccot_tpu.utils import se3np
+
+    pair = two_view_pair(seed=41, n_points=1500, overlap=0.85, noise=0.002)
+
+    def write_ply(path, pts):
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {len(pts)}\n"
+            "property float x\nproperty float y\nproperty float z\nend_header\n"
+        )
+        with open(path, "wb") as f:
+            f.write(header.encode())
+            f.write(pts.astype("<f4").tobytes())
+
+    write_ply(tmp_path / "src.ply", pair["source"])
+    write_ply(tmp_path / "tgt.ply", pair["target"])
+    np.savetxt(tmp_path / "gt.txt", pair["T_gt"])
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "saccot_tpu.cli.main", "files", "--cpu",
+         "--src", str(tmp_path / "src.ply"), "--tgt", str(tmp_path / "tgt.ply"),
+         "--gt", str(tmp_path / "gt.txt")],
+        capture_output=True, text=True, timeout=500, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    metrics = json.loads(out.stdout.strip().splitlines()[-1])
+    assert metrics["success"]
+    assert metrics["rot_err_deg"] < 5.0, metrics
+    assert np.asarray(metrics["T"]).shape == (4, 4)
