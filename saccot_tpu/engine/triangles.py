@@ -176,6 +176,18 @@ def _pool_from_anchor_rows(
     score = score.reshape(-1)
 
     if params.dedup_triangles:
+        # Score prefilter before the (expensive) lexicographic sort: a
+        # triangle {a,b,c} enters the candidate list at most 3 times (once
+        # per anchor in it, each anchor contributing each unordered
+        # neighbor pair once), and all copies carry an identical score —
+        # edge scores are symmetric functions of the points. So every
+        # member of the deduped top-K is guaranteed to appear within the
+        # top-3K raw candidates, and deduping only those is exact. This
+        # cuts the dominant sort from C = A*B*(B-1)/2 elements to 3K.
+        pre = min(3 * K, score.shape[0])
+        if pre < score.shape[0]:
+            score, keep = lax.top_k(score, pre)
+            tri = tri[keep]
         # Lexicographic de-dup: sort by (i, j, k), invalidate non-first
         # copies. All copies of one triangle carry the same score, so
         # keeping the first is exact.
