@@ -92,7 +92,13 @@ def main():
 
     # Steady-state throughput: repeat timed batches. Execution is sequential
     # on-device, so transferring the last result drains the whole queue.
-    reps = 5
+    # The completion barrier (device->host transfer through this
+    # environment's tunnel) costs ~30 ms flat; enough reps amortize it to
+    # noise so the number reflects on-chip batch time, not harness latency.
+    reps = 64
+    for _ in range(3):  # warm the dispatch path
+        res = fn(P_all, Q_all)
+    _ = np.asarray(res.num_inliers)
     t0 = time.time()
     for _ in range(reps):
         res = fn(P_all, Q_all)
