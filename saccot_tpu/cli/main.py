@@ -21,11 +21,19 @@ from saccot_tpu.utils.logging import JsonlLogger
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="saccot_tpu", description=__doc__)
     ap.add_argument(
-        "config", choices=sorted(CONFIGS) + ["files"],
-        help="benchmark config, or 'files' to register two cloud files",
+        "config", choices=sorted(CONFIGS) + ["files", "sequence"],
+        help="benchmark config, 'files' to register two cloud files, or "
+             "'sequence' to run odometry over a directory of scans",
     )
     ap.add_argument("--src", type=str, default=None, help="source cloud file (files mode)")
     ap.add_argument("--tgt", type=str, default=None, help="target cloud file (files mode)")
+    ap.add_argument("--dir", type=str, default=None,
+                    help="scan directory or comma-separated files (sequence mode)")
+    ap.add_argument("--fmt", choices=["kitti", "ply"], default="kitti",
+                    help="scan format (sequence mode)")
+    ap.add_argument("--poses", type=str, default=None,
+                    help="KITTI-format ground-truth poses (sequence mode)")
+    ap.add_argument("--stride", type=int, default=1, help="scan stride (sequence mode)")
     ap.add_argument("--descriptor", choices=["shot", "fpfh"], default="shot")
     ap.add_argument("--gt", type=str, default=None,
                     help="optional 4x4 ground-truth transform (whitespace text) to evaluate against")
@@ -54,6 +62,21 @@ def main(argv=None) -> int:
             ap.error("files mode requires --src and --tgt")
         metrics = register_files(args.src, args.tgt, descriptor=args.descriptor,
                                  gt_path=args.gt)
+        print(json.dumps(metrics))
+        return 0
+
+    if args.config == "sequence":
+        from saccot_tpu.cli.sequence import run_sequence_files
+
+        if not args.dir:
+            ap.error("sequence mode requires --dir")
+        kw = {}
+        if args.log:
+            kw["log"] = JsonlLogger(args.log)
+        metrics = run_sequence_files(
+            args.dir, fmt=args.fmt, poses_path=args.poses, stride=args.stride, **kw
+        )
+        metrics.pop("trajectory", None)  # keep the stdout JSON line compact
         print(json.dumps(metrics))
         return 0
 

@@ -1,0 +1,154 @@
+"""Register a directory of scans as an odometry sequence — real-file mode.
+
+The reference's KITTI workflow loops consecutive LiDAR scans through the
+registration pipeline (SURVEY.md section 3.2); this runner does that on
+real files: a native prefetch pool (native/prefetch.cpp) parses scans ahead
+of the device while the jitted pipeline registers the previous pair, scan
+features are computed once and reused for both pairs they appear in
+(features/pipeline.py `extract_scan_features`), and estimated relative
+transforms are chained into a trajectory (ATE against KITTI-format ground
+truth when given).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from saccot_tpu.evaluation.metrics import ate, registration_error
+from saccot_tpu.features.pipeline import (
+    PipelineConfig, extract_scan_features, register_scan_features,
+)
+from saccot_tpu.io import native
+from saccot_tpu.io.loaders import load_cloud, load_kitti_poses, pad_cloud
+from saccot_tpu.utils.params import SacCotParams
+
+
+def _find_scans(path: str, fmt: str) -> List[str]:
+    if os.path.isdir(path):
+        ext = {"kitti": "bin", "ply": "ply"}[fmt]
+        paths = sorted(glob.glob(os.path.join(path, f"*.{ext}")))
+    else:  # comma-separated explicit list
+        paths = [p for p in path.split(",") if p]
+    if len(paths) < 2:
+        raise ValueError(f"need at least 2 scans, found {len(paths)} at {path!r}")
+    return paths
+
+
+def _scan_iter(paths: List[str], fmt: str, max_pts: int):
+    """Native prefetching iterator when available, serial loads otherwise."""
+    if fmt in ("kitti", "ply"):
+        reader = native.prefetch_reader(paths, fmt, max_pts=max_pts)
+        if reader is not None:
+            return reader
+    return (load_cloud(p)[:max_pts] for p in paths)
+
+
+def default_sequence_config(metric_scale: float = 0.25) -> PipelineConfig:
+    """Scene-scale defaults: thresholds in multiples of `metric_scale` (m)."""
+    return PipelineConfig(
+        voxel_mult=1.0,
+        max_cloud_points=8192,
+        iss_salient_mult=4.0, iss_nms_mult=3.0,
+        descriptor="fpfh", descriptor_radius_mult=8.0, descriptor_k=48,
+        max_keypoints=1024, max_correspondences=1024,
+        compat_mult=3.0, min_sep_mult=6.0, inlier_mult=3.0,
+        estimator=SacCotParams(
+            num_anchors=192, neighbors_per_anchor=12, max_hypotheses=1024,
+        ),
+        metric_scale=metric_scale,
+    )
+
+
+def run_sequence_files(
+    path: str,
+    fmt: str = "kitti",
+    poses_path: Optional[str] = None,
+    cfg: Optional[PipelineConfig] = None,
+    max_pts: int = 200_000,
+    bucket: int = 65536,
+    stride: int = 1,
+    log=None,
+) -> Dict:
+    """Odometry over a scan directory: consecutive registration + chaining.
+
+    Returns aggregate metrics (per-pair records to `log` as JSONL). Poses
+    follow target = T * source with source = scan i+stride, target = scan i,
+    so chaining pose_{i+1} = pose_i @ T_i accumulates world-from-scan poses.
+    """
+    if cfg is None:
+        cfg = default_sequence_config()
+    paths = _find_scans(path, fmt)
+    if stride > 1:
+        paths = paths[::stride]
+
+    gt_poses = load_kitti_poses(poses_path) if poses_path else None
+    if gt_poses is not None and stride != 1:
+        gt_poses = gt_poses[::stride]
+
+    poses = [np.eye(4)]
+    prev_feat = None
+    times, rot_errs, trans_errs = [], [], []
+    n_inliers = []
+    t_start = time.time()
+    scans = _scan_iter(paths, fmt, max_pts)
+    try:
+        for i, pts in enumerate(scans):
+            if pts is None:
+                raise IOError(f"unreadable scan: {paths[i]}")
+            padded, mask = pad_cloud(pts.astype(np.float32), bucket)
+            feat = extract_scan_features(
+                jnp.asarray(padded), cfg, mask=jnp.asarray(mask)
+            )
+            if prev_feat is not None:
+                t0 = time.time()
+                res = register_scan_features(feat, prev_feat, cfg)
+                T = np.asarray(res.registration.T, np.float64)  # barrier
+                times.append(time.time() - t0)
+                poses.append(poses[-1] @ T)
+                n_inliers.append(int(res.registration.num_inliers))
+                rec = dict(
+                    pair=(i - 1, i), wall_s=times[-1],
+                    num_corr=int(res.num_correspondences),
+                    num_inliers=n_inliers[-1],
+                    success=bool(res.registration.success),
+                )
+                if gt_poses is not None and i < len(gt_poses):
+                    # Our T maps scan i into scan i-1's frame, i.e. the GT
+                    # relative pose inv(world_from_{i-1}) @ world_from_i.
+                    T_gt = np.linalg.inv(gt_poses[i - 1]) @ gt_poses[i]
+                    r, t = registration_error(T, T_gt)
+                    rec["rot_err_deg"] = r
+                    rec["trans_err"] = t
+                    rot_errs.append(r)
+                    trans_errs.append(t)
+                if log:
+                    log.log(rec)
+            prev_feat = feat
+    finally:
+        close = getattr(scans, "close", None)
+        if close:
+            close()
+
+    out: Dict = dict(
+        scans=len(paths),
+        pairs=len(times),
+        mean_wall_s=float(np.mean(times[1:])) if len(times) > 1 else (times[0] if times else None),
+        total_wall_s=time.time() - t_start,
+        mean_inliers=float(np.mean(n_inliers)) if n_inliers else 0.0,
+        native_prefetch=native.available(),
+    )
+    if gt_poses is not None:
+        n = min(len(poses), len(gt_poses))
+        out["ate_rmse"] = ate(np.asarray(poses[:n]), np.asarray(gt_poses[:n]))["rmse"]
+        if rot_errs:
+            out["mean_rot_err_deg"] = float(np.mean(rot_errs))
+            out["mean_trans_err"] = float(np.mean(trans_errs))
+    out["trajectory"] = [p[:3, :].reshape(-1).tolist() for p in poses]
+    return out

@@ -61,6 +61,7 @@ def _register_pair(
     compat_impl: str,
     score_impl: str,
     corr_axis: Optional[str] = None,
+    pool_impl: str = "jnp",
 ) -> RegistrationResult:
     P = P.astype(jnp.float32)
     Q = Q.astype(jnp.float32)
@@ -100,7 +101,9 @@ def _register_pair(
         )
 
     with jax.named_scope("saccot_triangles"):
-        pool = tri_mod.triangle_pool_from_points(P_full, Q_full, deg_full, params, mask=m_full)
+        pool = tri_mod.triangle_pool_from_points(
+            P_full, Q_full, deg_full, params, mask=m_full, impl=pool_impl
+        )
 
     with jax.named_scope("saccot_svd3"):
         tp = P_full[pool.triples]  # [K, 3, 3]
@@ -159,7 +162,7 @@ def _register_pair(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "compat_impl", "score_impl")
+    jax.jit, static_argnames=("params", "compat_impl", "score_impl", "pool_impl")
 )
 def register_pair(
     P: jnp.ndarray,
@@ -168,6 +171,7 @@ def register_pair(
     mask: Optional[jnp.ndarray] = None,
     compat_impl: str = "jnp",
     score_impl: str = "jnp",
+    pool_impl: str = "jnp",
 ) -> RegistrationResult:
     """Register one correspondence set: (P, Q, mask) -> best rigid transform.
 
@@ -176,10 +180,12 @@ def register_pair(
         to row i of Q).
       params: static estimator configuration.
       mask: optional [N] validity mask for padded correspondences.
-      compat_impl / score_impl: "jnp" (pure-XLA path) or "pallas" (fused
-        TPU kernels).
+      compat_impl / score_impl / pool_impl: "jnp" (pure-XLA path) or
+        "pallas" (fused TPU kernels).
     """
-    return _register_pair(P, Q, mask, params, compat_impl, score_impl)
+    return _register_pair(
+        P, Q, mask, params, compat_impl, score_impl, pool_impl=pool_impl
+    )
 
 
 def register_pair_sp(
@@ -190,6 +196,7 @@ def register_pair_sp(
     mask_shard: Optional[jnp.ndarray] = None,
     compat_impl: str = "jnp",
     score_impl: str = "jnp",
+    pool_impl: str = "jnp",
 ) -> RegistrationResult:
     """Correspondence-axis-sharded estimator body, for use inside shard_map.
 
@@ -199,7 +206,7 @@ def register_pair_sp(
     """
     return _register_pair(
         P_shard, Q_shard, mask_shard, params, compat_impl, score_impl,
-        corr_axis=corr_axis,
+        corr_axis=corr_axis, pool_impl=pool_impl,
     )
 
 
@@ -210,13 +217,16 @@ def register_batch(
     mask: Optional[jnp.ndarray] = None,
     compat_impl: str = "jnp",
     score_impl: str = "jnp",
+    pool_impl: str = "jnp",
 ) -> RegistrationResult:
     """vmap of `register_pair` over a leading batch axis of scan pairs.
 
     P, Q: [B, N, 3]; mask: optional [B, N]. This is the unit the data-parallel
     sweep shards over devices (SURVEY.md section 2.2, DP row).
     """
-    fn = lambda p, q, mk: _register_pair(p, q, mk, params, compat_impl, score_impl)
+    fn = lambda p, q, mk: _register_pair(
+        p, q, mk, params, compat_impl, score_impl, pool_impl=pool_impl
+    )
     if mask is None:
         mask = jnp.ones(P.shape[:2], jnp.float32)
     return jax.vmap(fn)(P, Q, mask)

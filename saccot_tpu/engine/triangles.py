@@ -85,20 +85,36 @@ def triangle_pool_from_points(
     deg: jnp.ndarray,
     params: SacCotParams,
     mask: Optional[jnp.ndarray] = None,
+    impl: str = "jnp",
 ) -> TrianglePool:
     """Hot-path pool builder: degrees + points in, ranked triangles out.
 
     Anchor rows of the virtual score matrix are recomputed from points
     ([A, N] — A x N work, not N^2), so nothing quadratic in N is ever
-    materialized here.
+    materialized here. With `impl="pallas"` the row recompute and the
+    per-anchor top-B neighbor selection fuse into one on-chip kernel
+    (kernels/triangles.py) so even the [A, N] rows never touch HBM.
     """
     N = P.shape[0]
     A = min(params.num_anchors, N)
+    B = min(params.neighbors_per_anchor, N - 1)
     _, anchors = lax.top_k(deg, A)
     # mask_rows matters: when fewer than A correspondences are valid (the
     # common padded-pipeline case), top_k must still fill the anchor budget
     # with masked degree-0 nodes — without zeroing their rows, garbage
     # triangles through padded points would enter the pool as "valid".
+    if impl == "pallas":
+        from saccot_tpu.kernels.triangles import MAX_N_FUSED, anchor_neighbors_pallas
+
+        if N <= MAX_N_FUSED:
+            nbr_s, nbr_idx = anchor_neighbors_pallas(
+                P, Q, anchors, B, params.compat_tau, params.min_separation,
+                mask=mask,
+                anchor_mask=None if mask is None else mask[anchors],
+            )
+            return _pool_from_neighbors(anchors, nbr_s, nbr_idx, P, Q, params)
+        # Beyond the fused-column VMEM budget the stage is HBM-bound on the
+        # [A, N] rows either way; fall through to the blockwise XLA path.
     rows = compat_mod.score_block(
         P[anchors], Q[anchors], P, Q, params,
         row_ids=anchors,
@@ -133,9 +149,21 @@ def _pool_from_anchor_rows(
 ) -> TrianglePool:
     A, N = rows.shape
     B = min(params.neighbors_per_anchor, N - 1)
-    K = params.max_hypotheses
-
     nbr_s, nbr_idx = lax.top_k(rows, B)  # [A, B]
+    return _pool_from_neighbors(anchors, nbr_s, nbr_idx, P, Q, params, S=S)
+
+
+def _pool_from_neighbors(
+    anchors: jnp.ndarray,   # [A] global node indices
+    nbr_s: jnp.ndarray,     # [A, B] per-anchor neighbor scores, descending
+    nbr_idx: jnp.ndarray,   # [A, B] per-anchor neighbor column indices
+    P: Optional[jnp.ndarray],
+    Q: Optional[jnp.ndarray],
+    params: SacCotParams,
+    S: Optional[jnp.ndarray] = None,
+) -> TrianglePool:
+    A, B = nbr_s.shape
+    K = params.max_hypotheses
 
     # Static neighbor-pair template (b1 < b2).
     b1, b2 = np.triu_indices(B, k=1)

@@ -182,6 +182,79 @@ def _register_clouds(
     )
 
 
+class ScanFeatures(NamedTuple):
+    """Per-scan features, reusable across every pair the scan appears in."""
+
+    kp_xyz: jnp.ndarray    # [max_keypoints, 3]
+    kp_valid: jnp.ndarray  # [max_keypoints] bool
+    desc: jnp.ndarray      # [max_keypoints, D]
+    resolution: jnp.ndarray  # scalar pr used for this scan's radii
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def extract_scan_features(
+    points: jnp.ndarray,
+    cfg: PipelineConfig,
+    mask: Optional[jnp.ndarray] = None,
+) -> ScanFeatures:
+    """One scan -> keypoints + descriptors, computed once.
+
+    Sequence workloads (odometry, SLAM frontends) register each scan against
+    its neighbors; recomputing features per *pair* (as `register_clouds`
+    does for the two-cloud workflow) doubles the feature cost. This entry
+    computes them per *scan*; pair `register_scan_features` with it.
+    """
+    points = points.astype(jnp.float32)
+    if cfg.metric_scale is not None:
+        pr = jnp.asarray(cfg.metric_scale, jnp.float32)
+    else:
+        pr = mesh_resolution(points, mask=mask)
+    if cfg.voxel_mult > 0:
+        points, mask = voxel_downsample(points, cfg.voxel_mult * pr, cfg.max_cloud_points, mask)
+    kps, desc = extract_features(points, cfg, pr, mask=mask)
+    return ScanFeatures(kp_xyz=kps.xyz, kp_valid=kps.valid, desc=desc, resolution=pr)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def register_scan_features(
+    src: ScanFeatures,
+    tgt: ScanFeatures,
+    cfg: PipelineConfig,
+) -> PipelineResult:
+    """Match + estimate between two scans' precomputed features.
+
+    Thresholds use the source scan's resolution, matching `register_clouds`'
+    convention (identical results when both scans share a metric_scale).
+    """
+    matches = match_descriptors(
+        src.desc, tgt.desc, mask_src=src.kp_valid, mask_tgt=tgt.kp_valid,
+        mutual=cfg.mutual, ratio_test=cfg.ratio_test,
+    )
+    matches = mutual_filter(matches, cfg.max_correspondences)
+    P = src.kp_xyz[matches.src_idx]
+    Q = tgt.kp_xyz[matches.tgt_idx]
+    cmask = matches.valid.astype(jnp.float32)
+
+    pr = src.resolution
+    inv_pr = 1.0 / jnp.maximum(pr, 1e-12)
+    params = dataclasses.replace(
+        cfg.estimator,
+        compat_tau=float(cfg.compat_mult),
+        min_separation=float(cfg.min_sep_mult),
+        inlier_tau=float(cfg.inlier_mult),
+    )
+    reg = _register_pair(P * inv_pr, Q * inv_pr, cmask, params, "jnp", "jnp")
+    t_metric = reg.t * pr
+    reg = reg._replace(t=t_metric, T=reg.T.at[:3, 3].set(t_metric))
+    return PipelineResult(
+        registration=reg,
+        resolution=pr,
+        num_keypoints_src=jnp.sum(src.kp_valid).astype(jnp.int32),
+        num_keypoints_tgt=jnp.sum(tgt.kp_valid).astype(jnp.int32),
+        num_correspondences=jnp.sum(matches.valid).astype(jnp.int32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def register_clouds(
     src: jnp.ndarray,

@@ -38,6 +38,16 @@ def _lib() -> Optional[ctypes.CDLL]:
     lib.saccot_load_ply_xyz.argtypes = [ctypes.c_char_p, fp, ctypes.c_long]
     lib.saccot_voxel_downsample.restype = ctypes.c_long
     lib.saccot_voxel_downsample.argtypes = [fp, ctypes.c_long, ctypes.c_float, fp, ctypes.c_long]
+    if hasattr(lib, "saccot_prefetch_create"):  # older .so builds lack it
+        cpp = ctypes.POINTER(ctypes.c_char_p)
+        lib.saccot_prefetch_create.restype = ctypes.c_void_p
+        lib.saccot_prefetch_create.argtypes = [
+            cpp, ctypes.c_long, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.saccot_prefetch_next.restype = ctypes.c_long
+        lib.saccot_prefetch_next.argtypes = [ctypes.c_void_p, fp, ctypes.c_long]
+        lib.saccot_prefetch_destroy.restype = None
+        lib.saccot_prefetch_destroy.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return _LIB
 
@@ -82,3 +92,63 @@ def voxel_downsample(points: np.ndarray, voxel: float, max_out: int = 500_000) -
     if m < 0:
         return None
     return out[:m].copy()
+
+
+class PrefetchReader:
+    """Background-threaded ordered scan reader (native/prefetch.cpp).
+
+    Iterates the given files in order, yielding [n, 3] float32 arrays (or
+    None for unreadable files), while a native worker pool parses up to
+    `window` scans ahead of the consumer — so disk/parse latency overlaps
+    device compute in the sweep runner. Use `prefetch_reader()` to get
+    either this or None when the native library is unavailable.
+    """
+
+    def __init__(self, paths, fmt: str, max_pts: int = 200_000,
+                 threads: int = 4, window: int = 8):
+        lib = _lib()
+        if lib is None or not hasattr(lib, "saccot_prefetch_create"):
+            raise RuntimeError("native prefetcher unavailable")
+        self._lib = lib
+        self._paths = [str(p) for p in paths]
+        self._max_pts = int(max_pts)
+        arr = (ctypes.c_char_p * len(self._paths))(
+            *[p.encode() for p in self._paths]
+        )
+        fmt_code = {"kitti": 0, "bin": 0, "ply": 1}[fmt]
+        self._h = lib.saccot_prefetch_create(
+            arr, len(self._paths), self._max_pts, fmt_code, threads, window
+        )
+        if not self._h:
+            raise RuntimeError("prefetcher creation failed")
+
+    def __iter__(self):
+        out = np.empty((self._max_pts, 3), np.float32)
+        for _ in range(len(self._paths)):
+            n = self._lib.saccot_prefetch_next(self._h, _farray(out), self._max_pts)
+            if n == -2:
+                return
+            yield None if n < 0 else out[:n].copy()
+
+    def close(self):
+        if self._h:
+            self._lib.saccot_prefetch_destroy(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        self.close()
+
+
+def prefetch_reader(paths, fmt: str, max_pts: int = 200_000,
+                    threads: int = 4, window: int = 8) -> Optional["PrefetchReader"]:
+    """PrefetchReader when the native library supports it, else None."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "saccot_prefetch_create"):
+        return None
+    return PrefetchReader(paths, fmt, max_pts=max_pts, threads=threads, window=window)

@@ -87,6 +87,37 @@ def test_gt_log(tmp_path):
     np.testing.assert_allclose(got[(0, 1)], T)
 
 
+def test_native_prefetch_reader(tmp_path, rng):
+    from saccot_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    clouds = [rng.normal(size=(50 + 10 * i, 3)).astype(np.float32) for i in range(12)]
+    paths = []
+    for i, c in enumerate(clouds):
+        p = tmp_path / f"{i:04d}.bin"
+        raw = np.concatenate([c, np.zeros((len(c), 1), np.float32)], axis=1)
+        raw.astype("<f4").tofile(p)
+        paths.append(str(p))
+    # Ordered delivery from a 4-thread pool with a small window.
+    reader = native.prefetch_reader(paths, "kitti", max_pts=1000, threads=4, window=3)
+    if reader is None:
+        pytest.skip("prefetcher entry points missing from .so")
+    with reader:
+        got = list(reader)
+    assert len(got) == len(clouds)
+    for g, c in zip(got, clouds):
+        np.testing.assert_allclose(g, c, atol=1e-6)
+    # Unreadable files yield None without breaking the stream order.
+    bad = native.prefetch_reader([paths[0], str(tmp_path / "nope.bin"), paths[1]],
+                                 "kitti", max_pts=1000, threads=2, window=2)
+    with bad:
+        out = list(bad)
+    assert out[1] is None
+    np.testing.assert_allclose(out[0], clouds[0], atol=1e-6)
+    np.testing.assert_allclose(out[2], clouds[1], atol=1e-6)
+
+
 def test_pad_cloud_bucket(cloud):
     pts, mask = loaders.pad_cloud(cloud, 128)
     assert pts.shape == (128, 3) and mask.sum() == 100
@@ -146,6 +177,39 @@ def test_fault_injection_resume(tmp_path):
     metrics = json.loads(second.stdout.strip().splitlines()[-1])
     assert metrics["pairs"] == 32
     assert metrics["recall"] > 0.9
+
+
+def test_sequence_files_mode(tmp_path):
+    """Odometry over a directory of KITTI .bin scans: prefetch -> features ->
+    register -> chain -> ATE vs ground-truth poses."""
+    from saccot_tpu.cli.sequence import default_sequence_config, run_sequence_files
+    from saccot_tpu.io.synthetic import blob_cloud
+    from saccot_tpu.utils import se3np
+
+    rng = np.random.default_rng(7)
+    world = blob_cloud(rng, 1500).astype(np.float64)
+    n_scans = 4
+    poses = [np.eye(4)]
+    for _ in range(n_scans - 1):
+        dT = se3np.random_transform(rng, max_angle_rad=0.15, max_trans=0.08)
+        poses.append(poses[-1] @ dT)
+    for i, pose in enumerate(poses):
+        scan = se3np.apply_T(np.linalg.inv(pose), world)
+        scan = scan + rng.normal(scale=0.002, size=scan.shape)
+        raw = np.concatenate([scan, np.zeros((len(scan), 1))], axis=1)
+        raw.astype("<f4").tofile(tmp_path / f"{i:06d}.bin")
+    np.savetxt(tmp_path / "poses.txt",
+               np.stack([p[:3, :].reshape(-1) for p in poses]))
+
+    cfg = default_sequence_config(metric_scale=0.05)
+    out = run_sequence_files(
+        str(tmp_path), fmt="kitti", poses_path=str(tmp_path / "poses.txt"),
+        cfg=cfg, max_pts=2000, bucket=2048,
+    )
+    assert out["scans"] == n_scans and out["pairs"] == n_scans - 1
+    assert out["mean_rot_err_deg"] < 3.0, out
+    assert out["ate_rmse"] < 0.1, out
+    assert len(out["trajectory"]) == n_scans
 
 
 def test_slam_state_checkpoint(tmp_path):

@@ -71,7 +71,65 @@ def test_score_pallas_matches_jnp(prob, rng):
 def test_register_pair_pallas_impl_matches(prob):
     P, Q = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
     ref = register_pair(P, Q, PARAMS)
-    got = register_pair(P, Q, PARAMS, compat_impl="pallas", score_impl="pallas")
+    got = register_pair(
+        P, Q, PARAMS, compat_impl="pallas", score_impl="pallas", pool_impl="pallas"
+    )
     E = np.asarray(got.T, np.float64) @ np.linalg.inv(np.asarray(ref.T, np.float64))
     assert se3np.rotation_angle_deg(E[:3, :3]) < 0.1
     assert int(got.num_inliers) == int(ref.num_inliers)
+
+
+def test_anchor_neighbors_pallas_matches_topk(prob):
+    from jax import lax
+
+    from saccot_tpu.kernels.triangles import anchor_neighbors_pallas
+
+    P, Q = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    N = P.shape[0]
+    mask = jnp.asarray((np.arange(N) < 260).astype(np.float32))
+    A, B = 64, 10
+    deg = jcompat.degrees(P, Q, P, Q, PARAMS, mask_rows=mask, mask_cols=mask)
+    _, anchors = lax.top_k(deg, A)
+
+    rows = jcompat.score_block(
+        P[anchors], Q[anchors], P, Q, PARAMS,
+        row_ids=anchors, mask_rows=mask[anchors], mask_cols=mask,
+    )
+    ref_s, ref_i = lax.top_k(rows, B)
+    got_s, got_i = anchor_neighbors_pallas(
+        P, Q, anchors, B, PARAMS.compat_tau, PARAMS.min_separation,
+        mask=mask, anchor_mask=mask[anchors],
+    )
+    # Scores: the kernel uses the direct (a-b)^2 distance form, the XLA path
+    # the f32 Gram trick — equal up to rounding.
+    # (rounding of the ~1e-6 distance noise is amplified by 1/tau ~ 33x).
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=1e-4, atol=2e-4)
+    # Indices: identical wherever the score is not in a rounding-level tie
+    # with its rank neighbors (ties are broken on ulp-level score diffs).
+    ref_sn, got_in = np.asarray(ref_s), np.asarray(got_i)
+    tie = np.zeros_like(ref_sn, dtype=bool)
+    tie[:, :-1] |= np.abs(ref_sn[:, :-1] - ref_sn[:, 1:]) < 2e-4
+    tie[:, 1:] |= tie[:, :-1]
+    stable = ~tie
+    np.testing.assert_array_equal(got_in[stable], np.asarray(ref_i)[stable])
+
+
+def test_triangle_pool_pallas_impl_matches(prob):
+    from saccot_tpu.engine import triangles as tri_mod
+
+    P, Q = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    deg = jcompat.degrees(P, Q, P, Q, PARAMS)
+    ref = tri_mod.triangle_pool_from_points(P, Q, deg, PARAMS)
+    got = tri_mod.triangle_pool_from_points(P, Q, deg, PARAMS, impl="pallas")
+    # The ranked pools must agree as sets on all clearly-valid triangles
+    # (score-tied tail entries may order differently across the two
+    # distance formulations).
+    ref_set = {tuple(t) for t, v in zip(np.asarray(ref.triples), np.asarray(ref.valid)) if v}
+    got_set = {tuple(t) for t, v in zip(np.asarray(got.triples), np.asarray(got.valid)) if v}
+    overlap = len(ref_set & got_set) / max(1, len(ref_set))
+    assert overlap > 0.95, f"pool overlap {overlap:.3f}"
+    np.testing.assert_allclose(
+        np.sort(np.asarray(got.scores))[::-1][:64],
+        np.sort(np.asarray(ref.scores))[::-1][:64],
+        rtol=1e-4, atol=5e-4,
+    )
