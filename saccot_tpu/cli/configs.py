@@ -40,6 +40,10 @@ class RunConfig:
     # slam-level
     n_scans: int = 8
     loop_every: int = 3
+    # kernel implementation for the estimator hot stages: "jnp" (pure
+    # XLA), "pallas" (fused kernels), or "auto" (pallas on the TPU backend,
+    # jnp elsewhere — the fused kernels run in slow interpret mode off-TPU).
+    impl: str = "auto"
     # recall criterion
     rot_thresh_deg: float = 15.0
     trans_thresh: float = 0.30

@@ -25,6 +25,14 @@ from saccot_tpu.utils.checkpoint import SweepCheckpointer
 from saccot_tpu.utils.logging import JsonlLogger
 
 
+def _impls(cfg: RunConfig) -> Dict:
+    """Resolve cfg.impl to the estimator's per-stage implementation kwargs."""
+    impl = cfg.impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    return dict(compat_impl=impl, score_impl=impl, pool_impl=impl)
+
+
 def run_pipeline_config(cfg: RunConfig, log: Optional[JsonlLogger] = None) -> Dict:
     """Configs 1-2: full cloud->transform pipeline over synthetic view pairs."""
     ok, rot_errs, trans_errs, times = 0, [], [], []
@@ -79,7 +87,7 @@ def run_sweep_config(cfg: RunConfig, log: Optional[JsonlLogger] = None,
         )
         for s in range(cfg.n_pairs)
     ]
-    fn = jax.jit(lambda a, b: register_batch(a, b, cfg.params))
+    fn = jax.jit(lambda a, b: register_batch(a, b, cfg.params, **_impls(cfg)))
     ckptr = SweepCheckpointer(ckpt)
     results_T = {}
     t_total, n_done = 0.0, 0
@@ -151,7 +159,7 @@ def run_kitti_config(cfg: RunConfig, log: Optional[JsonlLogger] = None) -> Dict:
         T_gt = prob["T_gt"].copy()
         T_gt[:3, 3] *= scale
         t0 = time.time()
-        res = register_pair(P, Q, cfg.params)
+        res = register_pair(P, Q, cfg.params, **_impls(cfg))
         jax.block_until_ready(res.T)
         dt = time.time() - t0
         T = np.asarray(res.T, np.float64)
