@@ -48,7 +48,7 @@ def main():
     from saccot_tpu.utils.params import SacCotParams
 
     N = 1000
-    BATCH = 16
+    BATCH = 32  # measured throughput peak on v5e (scripts/bench_sweep.py)
     OUTLIER = 0.8
     params = SacCotParams(
         compat_tau=0.03,
@@ -59,6 +59,11 @@ def main():
         max_hypotheses=1024,
         degree_block_rows=256,
         score_block_k=256,
+        # Perf variants, both recall-neutral here (recall checked below):
+        # duplicate triangles keep the argmax landscape (engine/triangles.py),
+        # approx_max_k trades ~5% of top-K ranking for a faster reduction.
+        dedup_triangles=False,
+        approx_topk=True,
     )
     log(f"devices: {jax.devices()}")
 
@@ -69,13 +74,14 @@ def main():
     P_all = jnp.stack([jnp.asarray(p["P"]) for p in probs])
     Q_all = jnp.stack([jnp.asarray(p["Q"]) for p in probs])
 
-    # All three hot stages on the fused Pallas kernels (compat degrees,
-    # triangle pool, hypothesis scoring): +13% over the pure-XLA path at
-    # this operating point, identical transforms (see kernel parity tests).
+    # All four hot stages on the fused Pallas kernels (compat degrees,
+    # triangle pool, 3-pt solve, hypothesis scoring); transforms match the
+    # pure-XLA path (see kernel parity tests).
     fn = jax.jit(
         lambda a, b: register_batch(
             a, b, params,
             compat_impl="pallas", score_impl="pallas", pool_impl="pallas",
+            solve_impl="pallas",
         )
     )
     t0 = time.time()

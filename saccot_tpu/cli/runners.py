@@ -30,7 +30,7 @@ def _impls(cfg: RunConfig) -> Dict:
     impl = cfg.impl
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    return dict(compat_impl=impl, score_impl=impl, pool_impl=impl)
+    return dict(compat_impl=impl, score_impl=impl, pool_impl=impl, solve_impl=impl)
 
 
 def run_pipeline_config(cfg: RunConfig, log: Optional[JsonlLogger] = None) -> Dict:

@@ -62,6 +62,7 @@ def _register_pair(
     score_impl: str,
     corr_axis: Optional[str] = None,
     pool_impl: str = "jnp",
+    solve_impl: str = "jnp",
 ) -> RegistrationResult:
     P = P.astype(jnp.float32)
     Q = Q.astype(jnp.float32)
@@ -106,9 +107,15 @@ def _register_pair(
         )
 
     with jax.named_scope("saccot_svd3"):
-        tp = P_full[pool.triples]  # [K, 3, 3]
-        tq = Q_full[pool.triples]
-        R, t = umeyama(tp, tq)
+        from saccot_tpu.kernels.solve3 import MAX_N_SOLVE, solve3_pallas
+        if solve_impl == "pallas" and P_full.shape[0] <= MAX_N_SOLVE:
+            # Fused gather + Horn solve; ~5x over the XLA gather + SoA
+            # iteration at the bench operating point (same quaternion core).
+            R, t = solve3_pallas(P_full, Q_full, pool.triples)
+        else:
+            tp = P_full[pool.triples]  # [K, 3, 3]
+            tq = Q_full[pool.triples]
+            R, t = umeyama(tp, tq)
 
     with jax.named_scope("saccot_score"):
         if score_impl == "pallas":
@@ -162,7 +169,8 @@ def _register_pair(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "compat_impl", "score_impl", "pool_impl")
+    jax.jit,
+    static_argnames=("params", "compat_impl", "score_impl", "pool_impl", "solve_impl"),
 )
 def register_pair(
     P: jnp.ndarray,
@@ -172,6 +180,7 @@ def register_pair(
     compat_impl: str = "jnp",
     score_impl: str = "jnp",
     pool_impl: str = "jnp",
+    solve_impl: str = "jnp",
 ) -> RegistrationResult:
     """Register one correspondence set: (P, Q, mask) -> best rigid transform.
 
@@ -180,11 +189,12 @@ def register_pair(
         to row i of Q).
       params: static estimator configuration.
       mask: optional [N] validity mask for padded correspondences.
-      compat_impl / score_impl / pool_impl: "jnp" (pure-XLA path) or
-        "pallas" (fused TPU kernels).
+      compat_impl / score_impl / pool_impl / solve_impl: "jnp" (pure-XLA
+        path) or "pallas" (fused TPU kernels).
     """
     return _register_pair(
-        P, Q, mask, params, compat_impl, score_impl, pool_impl=pool_impl
+        P, Q, mask, params, compat_impl, score_impl,
+        pool_impl=pool_impl, solve_impl=solve_impl,
     )
 
 
@@ -197,6 +207,7 @@ def register_pair_sp(
     compat_impl: str = "jnp",
     score_impl: str = "jnp",
     pool_impl: str = "jnp",
+    solve_impl: str = "jnp",
 ) -> RegistrationResult:
     """Correspondence-axis-sharded estimator body, for use inside shard_map.
 
@@ -206,7 +217,7 @@ def register_pair_sp(
     """
     return _register_pair(
         P_shard, Q_shard, mask_shard, params, compat_impl, score_impl,
-        corr_axis=corr_axis, pool_impl=pool_impl,
+        corr_axis=corr_axis, pool_impl=pool_impl, solve_impl=solve_impl,
     )
 
 
@@ -218,6 +229,7 @@ def register_batch(
     compat_impl: str = "jnp",
     score_impl: str = "jnp",
     pool_impl: str = "jnp",
+    solve_impl: str = "jnp",
 ) -> RegistrationResult:
     """vmap of `register_pair` over a leading batch axis of scan pairs.
 
@@ -225,7 +237,8 @@ def register_batch(
     sweep shards over devices (SURVEY.md section 2.2, DP row).
     """
     fn = lambda p, q, mk: _register_pair(
-        p, q, mk, params, compat_impl, score_impl, pool_impl=pool_impl
+        p, q, mk, params, compat_impl, score_impl,
+        pool_impl=pool_impl, solve_impl=solve_impl,
     )
     if mask is None:
         mask = jnp.ones(P.shape[:2], jnp.float32)

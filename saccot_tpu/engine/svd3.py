@@ -79,8 +79,10 @@ def umeyama(
     return R, t
 
 
-def _quaternion_rotation(H: jnp.ndarray) -> jnp.ndarray:
-    """Optimal rotation from the cross-covariance via Horn's quaternion.
+def quaternion_from_cross_covariance(
+    Sxx, Sxy, Sxz, Syx, Syy, Syz, Szx, Szy, Szz
+):
+    """Optimal-rotation quaternion via Horn's method, structure-of-arrays.
 
     The rotation maximizing trace(R^T H) is R(q*) where q* is the dominant
     eigenvector of Horn's symmetric 4x4 matrix N(H). We find it with a
@@ -89,22 +91,24 @@ def _quaternion_rotation(H: jnp.ndarray) -> jnp.ndarray:
     column is the eigenvector to ~((l2+s)/(l1+s))^256 accuracy; two plain
     power steps polish.
 
-    Layout: everything runs in structure-of-arrays form — the 10 unique
-    entries of the symmetric 4x4 are kept as separate [...]-shaped arrays
-    and the squaring is unrolled into elementwise FMAs over the hypothesis
-    batch. On TPU this keeps the whole iteration on the VPU with the batch
-    axis on the lanes; the [..., 4, 4] batched-einsum formulation costs
-    ~6x more wall-clock at K=1024 (tiny matmuls + layout churn).
+    Layout: everything runs in structure-of-arrays form — inputs are the 9
+    entries of the cross-covariance H as same-shaped arrays, the 10 unique
+    entries of the symmetric 4x4 are kept as separate arrays, and the
+    squaring is unrolled into elementwise FMAs over the hypothesis batch.
+    On TPU this keeps the whole iteration on the VPU with the batch axis on
+    the lanes; the [..., 4, 4] batched-einsum formulation costs ~6x more
+    wall-clock at K=1024 (tiny matmuls + layout churn). Shared by the XLA
+    path here and the fused Pallas solve kernel (kernels/solve3.py), where
+    the same code runs on (1, TILE_K) VMEM tiles.
 
     Degeneracy: for near-collinear point sets the top two eigenvalues of N
     coalesce (the rotation about the line is unobservable) and the returned
-    rotation is an arbitrary member of the optimal set — exactly like SVD
+    quaternion is an arbitrary member of the optimal set — exactly like SVD
     on the same input. Such hypotheses score badly downstream and are
     rejected, mirroring the reference's degenerate-sample handling.
+
+    Returns (qw, qx, qy, qz), unit up to the iteration tolerance.
     """
-    Sxx, Sxy, Sxz = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
-    Syx, Syy, Syz = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
-    Szx, Szy, Szz = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
 
     # Upper triangle of Horn's N (symmetric).
     n00 = Sxx + Syy + Szz
@@ -184,7 +188,25 @@ def _quaternion_rotation(H: jnp.ndarray) -> jnp.ndarray:
         inv = 1.0 / (jnp.sqrt(w0 * w0 + w1 * w1 + w2 * w2 + w3 * w3) + 1e-30)
         v = (w0 * inv, w1 * inv, w2 * inv, w3 * inv)
 
-    qw, qx, qy, qz = v
+    return v
+
+
+def rotation_entries_from_quaternion(qw, qx, qy, qz):
+    """Unit quaternion (SoA) -> the 9 rotation-matrix entries, row-major SoA."""
+    return (
+        1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy),
+        2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qw * qx),
+        2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx * qx + qy * qy),
+    )
+
+
+def _quaternion_rotation(H: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3, 3] cross-covariance -> [..., 3, 3] optimal rotation (SoA core)."""
+    qw, qx, qy, qz = quaternion_from_cross_covariance(
+        H[..., 0, 0], H[..., 0, 1], H[..., 0, 2],
+        H[..., 1, 0], H[..., 1, 1], H[..., 1, 2],
+        H[..., 2, 0], H[..., 2, 1], H[..., 2, 2],
+    )
     R = jnp.stack(
         [
             jnp.stack([1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)], axis=-1),

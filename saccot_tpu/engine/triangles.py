@@ -41,6 +41,12 @@ from saccot_tpu.engine import compat as compat_mod
 from saccot_tpu.utils.params import SacCotParams
 
 
+# Largest node counts for which a canonical triple packs losslessly into
+# one / two int32 sort keys (Nn^3 - 1 < 2^31 and Nn^2 + Nn - 1 < 2^31).
+_PACK1_MAX_NODES = 1290
+_PACK2_MAX_NODES = 46340
+
+
 class TrianglePool(NamedTuple):
     triples: jnp.ndarray  # [K, 3] int32, canonical i<j<k; padded entries arbitrary
     scores: jnp.ndarray   # [K] float32, -1 for padded/invalid entries
@@ -164,6 +170,13 @@ def _pool_from_neighbors(
 ) -> TrianglePool:
     A, B = nbr_s.shape
     K = params.max_hypotheses
+    # Node-index range, for the packed-key dedup sort below.
+    if P is not None:
+        n_nodes = P.shape[0]
+    elif S is not None:
+        n_nodes = S.shape[-1]
+    else:
+        n_nodes = None
 
     # Static neighbor-pair template (b1 < b2).
     b1, b2 = np.triu_indices(B, k=1)
@@ -218,18 +231,45 @@ def _pool_from_neighbors(
             tri = tri[keep]
         # Lexicographic de-dup: sort by (i, j, k), invalidate non-first
         # copies. All copies of one triangle carry the same score, so
-        # keeping the first is exact.
-        si, sj, sk, ss = lax.sort(
-            (tri[:, 0], tri[:, 1], tri[:, 2], score), num_keys=3
-        )
-        dup = jnp.concatenate(
-            [
-                jnp.zeros((1,), dtype=bool),
-                (si[1:] == si[:-1]) & (sj[1:] == sj[:-1]) & (sk[1:] == sk[:-1]),
-            ]
-        )
-        ss = jnp.where(dup, -1.0, ss)
-        tri_cols = (si, sj, sk)
+        # keeping the first is exact. Sort cost scales with the operand
+        # count, so the canonical triple is packed into as few int32 keys
+        # as the node-index range allows (sort of packed keys orders
+        # identically to the 3-key lexicographic sort): one key when
+        # Nn^3 < 2^31, two when Nn^2 + Nn < 2^31, else the plain 3 keys.
+        # Both packings are exact bijections, decoded after the sort.
+        Nn = n_nodes
+        if Nn is not None and Nn <= _PACK1_MAX_NODES:
+            key = (tri[:, 0] * Nn + tri[:, 1]) * Nn + tri[:, 2]
+            key, ss = lax.sort((key, score), num_keys=1)
+            dup = jnp.concatenate(
+                [jnp.zeros((1,), dtype=bool), key[1:] == key[:-1]]
+            )
+            ss = jnp.where(dup, -1.0, ss)
+            rem = key % (Nn * Nn)
+            tri_cols = (key // (Nn * Nn), rem // Nn, rem % Nn)
+        elif Nn is not None and Nn <= _PACK2_MAX_NODES:
+            kjk = tri[:, 1] * Nn + tri[:, 2]
+            si, kjk, ss = lax.sort((tri[:, 0], kjk, score), num_keys=2)
+            dup = jnp.concatenate(
+                [
+                    jnp.zeros((1,), dtype=bool),
+                    (si[1:] == si[:-1]) & (kjk[1:] == kjk[:-1]),
+                ]
+            )
+            ss = jnp.where(dup, -1.0, ss)
+            tri_cols = (si, kjk // Nn, kjk % Nn)
+        else:
+            si, sj, sk, ss = lax.sort(
+                (tri[:, 0], tri[:, 1], tri[:, 2], score), num_keys=3
+            )
+            dup = jnp.concatenate(
+                [
+                    jnp.zeros((1,), dtype=bool),
+                    (si[1:] == si[:-1]) & (sj[1:] == sj[:-1]) & (sk[1:] == sk[:-1]),
+                ]
+            )
+            ss = jnp.where(dup, -1.0, ss)
+            tri_cols = (si, sj, sk)
     else:
         ss = score
         tri_cols = (tri[:, 0], tri[:, 1], tri[:, 2])

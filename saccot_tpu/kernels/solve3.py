@@ -1,0 +1,152 @@
+"""Pallas TPU kernel: fused triple-gather + batched 3-point Horn solve.
+
+Replaces the reference's per-sample Eigen SVD loop (SURVEY.md section 2.1,
+"Guided sampler + 3-pt solver") end to end on-chip: for each tile of TK
+hypothesis triangles it
+
+  1. gathers the 3 source/target points of every triple via a one-hot
+     matmul on the MXU (built from a broadcasted iota — XLA's native gather
+     of ~3K scattered rows costs ~3 ms/batch at the bench operating point;
+     the in-VMEM one-hot contraction makes it free),
+  2. forms the centered 3x3 cross-covariances in structure-of-arrays form
+     (9 rows of a [9, TK] register tile), and
+  3. runs the shared shift-and-square quaternion power iteration
+     (engine/svd3.quaternion_from_cross_covariance) entirely on the VPU
+     with hypotheses on the lanes.
+
+Nothing intermediate touches HBM: inputs are the coordinate-major point
+arrays [3, N] (a few KB) plus the [3, K] triple indices; outputs are the
+rotation entries [9, K] and translations [3, K] — the exact layout the
+scoring kernel (kernels/score.py) consumes.
+
+The one-hot tile is [Np, 3*TK] floats in VMEM, which bounds the usable N;
+`MAX_N_SOLVE` keeps it ~6 MB. Larger problems fall back to the XLA path
+(engine/svd3.umeyama on gathered triples) — at that size the solve is no
+longer the bottleneck.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from saccot_tpu.engine.svd3 import (
+    quaternion_from_cross_covariance,
+    rotation_entries_from_quaternion,
+)
+
+TILE_K = 256
+MAX_N_SOLVE = 2048  # one-hot tile = MAX_N_SOLVE * 3*TILE_K * 4 B = 6 MB VMEM
+
+
+def _solve_kernel(p_ref, q_ref, tri_ref, r_ref, t_ref):
+    # p_ref/q_ref: [3, Np] coordinate-major points (full, replicated per step)
+    # tri_ref:     [3, TK] int32 triple indices for this tile
+    # r_ref:       [9, TK] rotation entries out; t_ref: [3, TK] translations out
+    Np = p_ref.shape[1]
+    TK = tri_ref.shape[1]
+    idx = tri_ref[:]                                   # [3, TK]
+    rows = lax.broadcasted_iota(jnp.int32, (Np, 3 * TK), 0)
+    flat = idx.reshape(1, 3 * TK)                      # slot-major: [p0 | p1 | p2]
+    oh = (rows == flat).astype(jnp.float32)            # [Np, 3*TK]
+    # HIGHEST precision: a one-pass bf16 MXU matmul would round the gathered
+    # coordinates to 8 mantissa bits; multi-pass keeps the selection exact.
+    pg = jnp.dot(p_ref[:], oh, preferred_element_type=jnp.float32,
+                 precision=lax.Precision.HIGHEST)      # [3, 3*TK]
+    qg = jnp.dot(q_ref[:], oh, preferred_element_type=jnp.float32,
+                 precision=lax.Precision.HIGHEST)
+
+    def slot(g, s):
+        return g[:, s * TK:(s + 1) * TK]               # [3, TK] points of slot s
+
+    p0, p1, p2 = slot(pg, 0), slot(pg, 1), slot(pg, 2)
+    q0, q1, q2 = slot(qg, 0), slot(qg, 1), slot(qg, 2)
+    third = jnp.float32(1.0 / 3.0)
+    pbar = (p0 + p1 + p2) * third                      # [3, TK]
+    qbar = (q0 + q1 + q2) * third
+
+    pc = (p0 - pbar, p1 - pbar, p2 - pbar)
+    qc = (q0 - qbar, q1 - qbar, q2 - qbar)
+
+    def cov(a, b):  # H[a, b] = sum_s pc_s[a] * qc_s[b]  -> (1, TK)
+        return (
+            pc[0][a:a + 1, :] * qc[0][b:b + 1, :]
+            + pc[1][a:a + 1, :] * qc[1][b:b + 1, :]
+            + pc[2][a:a + 1, :] * qc[2][b:b + 1, :]
+        )
+
+    q = quaternion_from_cross_covariance(
+        cov(0, 0), cov(0, 1), cov(0, 2),
+        cov(1, 0), cov(1, 1), cov(1, 2),
+        cov(2, 0), cov(2, 1), cov(2, 2),
+    )
+    r = rotation_entries_from_quaternion(*q)           # 9 x (1, TK)
+    r_ref[:] = jnp.concatenate(r, axis=0)              # [9, TK]
+    # t = qbar - R pbar, row by row.
+    t_rows = [
+        qbar[c:c + 1, :]
+        - (r[3 * c] * pbar[0:1, :] + r[3 * c + 1] * pbar[1:2, :] + r[3 * c + 2] * pbar[2:3, :])
+        for c in range(3)
+    ]
+    t_ref[:] = jnp.concatenate(t_rows, axis=0)         # [3, TK]
+
+
+def solve3_pallas(
+    P: jnp.ndarray,
+    Q: jnp.ndarray,
+    triples: jnp.ndarray,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched 3-point rigid solves: (P, Q [N, 3], triples [K, 3]) -> R, t.
+
+    Drop-in for `umeyama(P[triples], Q[triples])` (uniform weights): same
+    quaternion iteration, fused gather. R: [K, 3, 3], t: [K, 3].
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N = P.shape[0]
+    K = triples.shape[0]
+    assert N <= MAX_N_SOLVE, f"solve3_pallas: N={N} exceeds {MAX_N_SOLVE}"
+
+    tk = min(TILE_K, max(128, K))
+    Kp = -(-K // tk) * tk
+    Np = -(-N // 128) * 128
+
+    pT = jnp.pad(P.astype(jnp.float32).T, ((0, 0), (0, Np - N)))
+    qT = jnp.pad(Q.astype(jnp.float32).T, ((0, 0), (0, Np - N)))
+    # Padded triples index point 0: valid rows, discarded by the caller.
+    triT = jnp.pad(triples.astype(jnp.int32).T, ((0, 0), (0, Kp - K)))
+
+    grid = (Kp // tk,)
+    r9, t3 = pl.pallas_call(
+        _solve_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, Np), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Np), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((9, tk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((9, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((3, Kp), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 3 * Np * 3 * Kp + 400 * Kp,
+            bytes_accessed=(6 * Np + 15 * Kp) * 4,
+            transcendentals=0,
+        ),
+    )(pT, qT, triT)
+
+    R = r9[:, :K].T.reshape(K, 3, 3)
+    t = t3[:, :K].T
+    return R, t

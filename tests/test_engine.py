@@ -194,3 +194,25 @@ def test_num_candidate_triangles_matches_pool_template():
     p = SacCotParams(num_anchors=7, neighbors_per_anchor=5)
     b1, b2 = np.triu_indices(5, k=1)
     assert num_candidate_triangles(p) == 7 * len(b1)
+
+
+def test_triangle_pool_dedup_key_packings_agree(prob, monkeypatch):
+    """The 1-key / 2-key / 3-key dedup sorts are exact rewrites of each other."""
+    P, Q = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    params = SacCotParams(
+        compat_tau=0.05, min_separation=0.02,
+        num_anchors=48, neighbors_per_anchor=8, max_hypotheses=128,
+    )
+    deg = jcompat.degrees(P, Q, P, Q, params)
+
+    def pool():
+        return jtri.triangle_pool_from_points(P, Q, deg, params)
+
+    ref = pool()  # 1-key packing (small N)
+    monkeypatch.setattr(jtri, "_PACK1_MAX_NODES", 0)
+    two = pool()  # forced 2-key packing
+    monkeypatch.setattr(jtri, "_PACK2_MAX_NODES", 0)
+    three = pool()  # forced plain 3-key sort
+    for other in (two, three):
+        np.testing.assert_array_equal(np.asarray(ref.triples), np.asarray(other.triples))
+        np.testing.assert_allclose(np.asarray(ref.scores), np.asarray(other.scores), atol=1e-6)

@@ -133,3 +133,35 @@ def test_triangle_pool_pallas_impl_matches(prob):
         np.sort(np.asarray(ref.scores))[::-1][:64],
         rtol=1e-4, atol=5e-4,
     )
+
+
+def test_solve3_pallas_matches_umeyama(prob, rng):
+    from saccot_tpu.engine.svd3 import umeyama
+    from saccot_tpu.kernels.solve3 import solve3_pallas
+
+    P, Q = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    N = P.shape[0]
+    K = 200  # non-multiple of the tile to exercise padding
+    triples = jnp.asarray(
+        np.stack([rng.choice(N, size=3, replace=False) for _ in range(K)]),
+        jnp.int32,
+    )
+    R_ref, t_ref = umeyama(P[triples], Q[triples])
+    R_got, t_got = solve3_pallas(P, Q, triples)
+    np.testing.assert_allclose(np.asarray(R_got), np.asarray(R_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t_got), np.asarray(t_ref), atol=2e-5)
+    # Proper rotations throughout.
+    det = np.linalg.det(np.asarray(R_got, np.float64))
+    np.testing.assert_allclose(det, 1.0, atol=1e-4)
+
+
+def test_register_pair_solve_pallas_matches(prob):
+    P, Q = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    ref = register_pair(P, Q, PARAMS)
+    got = register_pair(
+        P, Q, PARAMS, compat_impl="pallas", score_impl="pallas",
+        pool_impl="pallas", solve_impl="pallas",
+    )
+    E = np.asarray(got.T, np.float64) @ np.linalg.inv(np.asarray(ref.T, np.float64))
+    assert se3np.rotation_angle_deg(E[:3, :3]) < 0.1
+    assert int(got.num_inliers) == int(ref.num_inliers)
