@@ -7,6 +7,7 @@ log path). These are the reference's L6 driver loops (SURVEY.md section
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from typing import Dict, Optional
 
@@ -36,12 +37,13 @@ def _impls(cfg: RunConfig) -> Dict:
 def run_pipeline_config(cfg: RunConfig, log: Optional[JsonlLogger] = None) -> Dict:
     """Configs 1-2: full cloud->transform pipeline over synthetic view pairs."""
     ok, rot_errs, trans_errs, times = 0, [], [], []
+    pipe = dataclasses.replace(cfg.pipeline, impl=_impls(cfg)["compat_impl"])
     for p in range(cfg.n_pairs):
         pair = two_view_pair(seed=cfg.seed + p, n_points=cfg.n_points,
                              overlap=0.8, noise=0.002)
         t0 = time.time()
         res = register_clouds(
-            jnp.asarray(pair["source"]), jnp.asarray(pair["target"]), cfg.pipeline
+            jnp.asarray(pair["source"]), jnp.asarray(pair["target"]), pipe
         )
         jax.block_until_ready(res.registration.T)
         dt = time.time() - t0

@@ -18,6 +18,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from saccot_tpu.engine.icp import IcpParams, icp as icp_refine
 from saccot_tpu.engine.sac_cot import RegistrationResult, _register_pair
 from saccot_tpu.features.fpfh import fpfh_descriptors
 from saccot_tpu.features.iss import iss_keypoints, Keypoints
@@ -67,6 +68,13 @@ class PipelineConfig:
     min_sep_mult: float = 8.0
     inlier_mult: float = 5.0
     estimator: SacCotParams = SacCotParams()
+    # per-stage kernel implementation: "jnp" (pure XLA) or "pallas"
+    impl: str = "jnp"
+
+    # optional dense-cloud ICP polish of the estimated transform
+    # (engine/icp.py); distances inside IcpParams are in pr units, matching
+    # every other threshold here. None disables.
+    icp: Optional["IcpParams"] = None
 
     metric_scale: Optional[float] = None
 
@@ -83,6 +91,9 @@ class PipelineResult(NamedTuple):
     num_keypoints_src: jnp.ndarray
     num_keypoints_tgt: jnp.ndarray
     num_correspondences: jnp.ndarray
+    # Final weighted inlier RMSE of the ICP polish, in pr units; 0 when the
+    # config has icp=None.
+    icp_rmse: jnp.ndarray = 0.0
 
 
 def extract_features(
@@ -166,7 +177,23 @@ def _register_clouds(
         min_separation=float(cfg.min_sep_mult),
         inlier_tau=float(cfg.inlier_mult),
     )
-    reg = _register_pair(P * inv_pr, Q * inv_pr, cmask, params, "jnp", "jnp")
+    reg = _register_pair(
+        P * inv_pr, Q * inv_pr, cmask, params, cfg.impl, cfg.impl,
+        pool_impl=cfg.impl, solve_impl=cfg.impl,
+    )
+
+    icp_rmse = jnp.float32(0.0)
+    if cfg.icp is not None:
+        # Dense polish on the (downsampled) clouds in resolution units, so
+        # IcpParams distances follow the same pr-multiple convention; the
+        # coarse estimate (still in pr units here) seeds it.
+        pol = icp_refine(
+            src * inv_pr, tgt * inv_pr, cfg.icp, T_init=reg.T,
+            mask_src=src_mask, mask_tgt=tgt_mask,
+        )
+        reg = reg._replace(R=pol.R, t=pol.t, T=pol.T)
+        icp_rmse = pol.rmse
+
     # Un-scale the translation back to metric units (R is scale-free).
     t_metric = reg.t * pr
     reg = reg._replace(
@@ -179,6 +206,7 @@ def _register_clouds(
         num_keypoints_src=jnp.sum(kp_s.valid).astype(jnp.int32),
         num_keypoints_tgt=jnp.sum(kp_t.valid).astype(jnp.int32),
         num_correspondences=jnp.sum(matches.valid).astype(jnp.int32),
+        icp_rmse=icp_rmse,
     )
 
 
@@ -243,7 +271,10 @@ def register_scan_features(
         min_separation=float(cfg.min_sep_mult),
         inlier_tau=float(cfg.inlier_mult),
     )
-    reg = _register_pair(P * inv_pr, Q * inv_pr, cmask, params, "jnp", "jnp")
+    reg = _register_pair(
+        P * inv_pr, Q * inv_pr, cmask, params, cfg.impl, cfg.impl,
+        pool_impl=cfg.impl, solve_impl=cfg.impl,
+    )
     t_metric = reg.t * pr
     reg = reg._replace(t=t_metric, T=reg.T.at[:3, 3].set(t_metric))
     return PipelineResult(

@@ -1,0 +1,83 @@
+"""Baseline-estimator tests: RANSAC / edge-guided samplers and the ablation.
+
+These validate the paper-style comparison the baselines exist for: at equal
+sample budgets, triangle-guided sampling (SAC-COT) survives outlier rates
+where uniform random sampling collapses, with edge-guided sampling in
+between. Budgets/outlier rates are chosen so the ordering is deterministic
+at the fixed seeds, not a coin flip.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from saccot_tpu.engine.baselines import (
+    edge_guided_register_pair, ransac_register_pair, sampler_ablation,
+)
+from saccot_tpu.io.synthetic import correspondence_problem
+from saccot_tpu.utils import se3np
+from saccot_tpu.utils.params import SacCotParams
+
+PARAMS = SacCotParams(
+    compat_tau=0.03, min_separation=0.05, inlier_tau=0.03,
+    num_anchors=128, neighbors_per_anchor=12, max_hypotheses=512,
+)
+
+
+def _rot_err(T_est, T_gt):
+    E = np.asarray(T_est, np.float64) @ np.linalg.inv(T_gt)
+    return se3np.rotation_angle_deg(E[:3, :3])
+
+
+def test_ransac_recovers_at_low_outliers():
+    prob = correspondence_problem(seed=5, n=400, outlier_ratio=0.3, noise=0.003)
+    res = ransac_register_pair(
+        jnp.asarray(prob["P"]), jnp.asarray(prob["Q"]), PARAMS, seed=1
+    )
+    # Inlier rate 0.7 -> all-inlier triple probability ~0.34; 512 samples
+    # make failure probability ~1e-90.
+    assert _rot_err(res.T, prob["T_gt"]) < 3.0
+    assert int(res.num_inliers) > 200
+
+
+def test_edge_guided_recovers_at_moderate_outliers():
+    prob = correspondence_problem(seed=6, n=500, outlier_ratio=0.8, noise=0.003)
+    res = edge_guided_register_pair(
+        jnp.asarray(prob["P"]), jnp.asarray(prob["Q"]), PARAMS, seed=1
+    )
+    assert _rot_err(res.T, prob["T_gt"]) < 3.0
+    assert int(res.num_inliers) > 60
+
+
+def test_ransac_respects_mask():
+    prob = correspondence_problem(seed=7, n=300, outlier_ratio=0.3, noise=0.003)
+    mask = np.ones(300, np.float32)
+    mask[150:] = 0.0
+    res = ransac_register_pair(
+        jnp.asarray(prob["P"]), jnp.asarray(prob["Q"]), PARAMS,
+        mask=jnp.asarray(mask), seed=1,
+    )
+    inl = np.asarray(res.inliers)
+    assert not inl[150:].any()
+    assert _rot_err(res.T, prob["T_gt"]) < 3.0
+
+
+def test_sampler_ablation_ordering_at_high_outliers():
+    """The paper's headline: guided sampling survives where RANSAC collapses.
+
+    At 97% outliers an all-inlier uniform triple has probability ~2.7e-5,
+    so a 512-sample RANSAC budget finds none (seed-checked), while the
+    compatibility-graph-guided samplers concentrate on inliers. Refinement
+    is disabled to compare the raw samplers, not the polish.
+    """
+    import dataclasses
+
+    prob = correspondence_problem(seed=8, n=1000, outlier_ratio=0.97, noise=0.003)
+    params = dataclasses.replace(PARAMS, refine_iters=0)
+    out = sampler_ablation(
+        jnp.asarray(prob["P"]), jnp.asarray(prob["Q"]), params, seed=3
+    )
+    err = {k: _rot_err(v.T, prob["T_gt"]) for k, v in out.items()}
+    ninl = {k: int(v.num_inliers) for k, v in out.items()}
+    assert err["saccot"] < 3.0, (err, ninl)
+    assert ninl["saccot"] >= ninl["edge"] >= ninl["ransac"], (err, ninl)
+    assert err["ransac"] > 10.0, (err, ninl)  # random sampling fails here

@@ -248,3 +248,46 @@ def test_match_single_target_row(rng):
     # ratio test on a single target rejects everything (d2nd == d1)
     m2 = match_descriptors(jnp.asarray(d1), jnp.asarray(d2), mutual=False, ratio_test=0.9)
     assert not np.asarray(m2.valid).any()
+
+
+def test_pipeline_with_icp_polish():
+    """cfg.icp runs a trimmed dense polish after the estimator; the refined
+    transform must be at least as accurate as the coarse one."""
+    from saccot_tpu.engine.icp import IcpParams
+
+    pair = two_view_pair(seed=9, n_points=4096, overlap=0.8, noise=0.002)
+    base = PipelineConfig(
+        normal_k=16,
+        iss_salient_mult=5.0,
+        iss_nms_mult=3.0,
+        max_keypoints=512,
+        descriptor="shot",
+        descriptor_radius_mult=10.0,
+        descriptor_k=48,
+        max_correspondences=512,
+        compat_mult=3.0,
+        min_sep_mult=6.0,
+        inlier_mult=3.0,
+        estimator=SacCotParams(
+            num_anchors=128, neighbors_per_anchor=12, max_hypotheses=512,
+        ),
+    )
+    import dataclasses
+
+    with_icp = dataclasses.replace(
+        base, icp=IcpParams(max_iters=10, max_corr_dist=6.0, trim_frac=0.8)
+    )
+    src, tgt = jnp.asarray(pair["source"]), jnp.asarray(pair["target"])
+    coarse = register_clouds(src, tgt, base)
+    fine = register_clouds(src, tgt, with_icp)
+
+    def errs(res):
+        E = np.asarray(res.registration.T, np.float64) @ np.linalg.inv(pair["T_gt"])
+        return se3np.rotation_angle_deg(E[:3, :3]), np.linalg.norm(E[:3, 3])
+
+    rot_c, tr_c = errs(coarse)
+    rot_f, tr_f = errs(fine)
+    assert rot_f < 3.0 and tr_f < 0.03, (rot_f, tr_f, rot_c, tr_c)
+    # The polish must not make things worse (allow fp wiggle).
+    assert rot_f <= rot_c * 1.2 + 0.1, (rot_f, rot_c)
+    assert float(fine.icp_rmse) > 0.0
