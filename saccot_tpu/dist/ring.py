@@ -11,11 +11,17 @@ Note on when to use it: because every matrix entry is a function of six
 floats of point data, the default SP path (engine/sac_cot.py) instead does
 one [N, 3] `all_gather` and computes blocks locally — same O(N) ICI bytes,
 fewer synchronization points. The ring variant is kept as a first-class,
-tested alternative because it (a) overlaps compute with neighbor transfers
-on real ICI and never holds more than 2 column blocks in memory, which
-matters once per-device point chunks grow beyond VMEM-friendly sizes, and
-(b) is the building block for future fused Pallas ring kernels
-(make_async_remote_copy).
+tested alternative because it overlaps compute with neighbor transfers on
+real ICI and never holds more than 2 column blocks in memory, which matters
+once per-device point chunks grow beyond VMEM-friendly sizes.
+
+Two implementations share the schedule and contract:
+  impl="jnp"    — XLA `ppermute` between steps, block scoring in XLA; the
+                  compiler's async collectives provide the overlap.
+  impl="pallas" — ONE fused Pallas program per device
+                  (kernels/ring_compat.py): `make_async_remote_copy` RDMA
+                  with explicit double buffering and semaphore handshakes;
+                  the DMA of block s+1 overlaps on-chip compute of block s.
 """
 
 from __future__ import annotations
@@ -36,13 +42,22 @@ def degrees_ring(
     params: SacCotParams,
     axis_name: str,
     mask_loc: Optional[jnp.ndarray] = None,
+    impl: str = "jnp",
 ) -> jnp.ndarray:
     """Weighted degrees of the local row chunk via a column-block ring.
 
     Must be called inside shard_map with the correspondence axis sharded
     over `axis_name` (equal chunk sizes). Returns deg [N_local] — identical
     (up to f32 summation order) to the all-gather + blockwise path.
+    `impl` picks the ppermute ("jnp") or fused-RDMA Pallas ("pallas")
+    formulation; see the module docstring.
     """
+    if impl == "pallas":
+        from saccot_tpu.kernels.ring_compat import degrees_ring_pallas
+
+        return degrees_ring_pallas(
+            P_loc, Q_loc, params, axis_name, mask_loc=mask_loc
+        )
     d = lax.axis_size(axis_name)
     i = lax.axis_index(axis_name)
     n_loc = P_loc.shape[0]

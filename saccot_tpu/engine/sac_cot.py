@@ -82,7 +82,9 @@ def _register_pair(
     with jax.named_scope("saccot_degrees"):
         if corr_axis is not None and params.ring_compat:
             from saccot_tpu.dist.ring import degrees_ring
-            deg_local = degrees_ring(P, Q, params, corr_axis, mask_loc=m)
+            deg_local = degrees_ring(
+                P, Q, params, corr_axis, mask_loc=m, impl=compat_impl
+            )
         elif compat_impl == "pallas":
             from saccot_tpu.kernels.compat import degrees_pallas
             deg_local = degrees_pallas(

@@ -182,3 +182,65 @@ def test_ring_compat_matches_allgather(eight_devices):
     deg_ring = jax.jit(deg_fn)(Pv, Qv, mask)
     deg_ref = jcompat.degrees(Pv, Qv, Pv, Qv, PARAMS, mask_rows=mask, mask_cols=mask)
     np.testing.assert_allclose(np.asarray(deg_ring), np.asarray(deg_ref), rtol=1e-5, atol=1e-4)
+
+
+def test_ring_compat_pallas_fused_matches(eight_devices):
+    """The fused-RDMA Pallas ring kernel (kernels/ring_compat.py) must match
+    the monolithic degree computation on every mesh shape, with the
+    interpreter's race detector on (validates the semaphore handshake)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from saccot_tpu.engine import compat as jcompat
+    from saccot_tpu.kernels.ring_compat import degrees_ring_pallas
+
+    prob = correspondence_problem(seed=301, n=N, outlier_ratio=0.5)
+    Pv, Qv = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    mask = np.ones((N,), np.float32)
+    mask[-17:] = 0.0  # padded-correspondence masking crosses shard bounds
+    mask = jnp.asarray(mask)
+    deg_ref = jcompat.degrees(Pv, Qv, Pv, Qv, PARAMS, mask_rows=mask, mask_cols=mask)
+
+    ip = pltpu.InterpretParams(detect_races=True)
+    for pairs, corr in [(1, 8), (4, 2)]:
+        mesh = make_mesh(pairs=pairs, corr=corr)
+        fn = jax.shard_map(
+            lambda p, q, m: degrees_ring_pallas(
+                p, q, PARAMS, "corr", mask_loc=m, interpret=ip
+            ),
+            mesh=mesh,
+            in_specs=(P("corr"), P("corr"), P("corr")),
+            out_specs=P("corr"),
+            check_vma=False,
+        )
+        deg = jax.jit(fn)(Pv, Qv, mask)
+        np.testing.assert_allclose(
+            np.asarray(deg), np.asarray(deg_ref), rtol=1e-5, atol=1e-3,
+            err_msg=f"mesh ({pairs},{corr})",
+        )
+
+
+def test_ring_compat_pallas_via_estimator(eight_devices):
+    """ring_compat + compat_impl='pallas' routes the SP estimator's degree
+    stage through the fused ring kernel and still registers identically."""
+    import dataclasses
+
+    prob = correspondence_problem(seed=302, n=N, outlier_ratio=0.5)
+    Pv, Qv = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    mask = jnp.ones((N,), jnp.float32)
+    mesh = make_mesh(pairs=1, corr=8)
+    ring_params = dataclasses.replace(PARAMS, ring_compat=True)
+
+    fn = jax.shard_map(
+        lambda p, q, m: register_pair_sp(
+            p, q, ring_params, "corr", mask_shard=m, compat_impl="pallas"
+        ),
+        mesh=mesh,
+        in_specs=(P("corr"), P("corr"), P("corr")),
+        out_specs=_sp_out_specs(),
+        check_vma=False,
+    )
+    res = jax.jit(fn)(Pv, Qv, mask)
+    ref = register_pair(Pv, Qv, PARAMS)
+    E = np.asarray(res.T, np.float64) @ np.linalg.inv(np.asarray(ref.T, np.float64))
+    assert se3np.rotation_angle_deg(E[:3, :3]) < 0.05
+    assert int(res.num_inliers) == int(ref.num_inliers)
