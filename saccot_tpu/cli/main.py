@@ -21,9 +21,11 @@ from saccot_tpu.utils.logging import JsonlLogger
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="saccot_tpu", description=__doc__)
     ap.add_argument(
-        "config", choices=sorted(CONFIGS) + ["files", "sequence"],
-        help="benchmark config, 'files' to register two cloud files, or "
-             "'sequence' to run odometry over a directory of scans",
+        "config", choices=sorted(CONFIGS) + ["files", "sequence", "ablate"],
+        help="benchmark config, 'files' to register two cloud files, "
+             "'sequence' to run odometry over a directory of scans, or "
+             "'ablate' for the paper-style sampler comparison "
+             "(random / edge-guided / triangle-guided at equal budgets)",
     )
     ap.add_argument("--src", type=str, default=None, help="source cloud file (files mode)")
     ap.add_argument("--tgt", type=str, default=None, help="target cloud file (files mode)")
@@ -44,14 +46,25 @@ def main(argv=None) -> int:
     ap.add_argument("--log", type=str, default=None, help="JSONL per-pair log path")
     ap.add_argument("--ckpt", type=str, default=None, help="sweep checkpoint dir")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--outliers", type=str, default="0.8,0.9,0.95",
+                    help="comma-separated outlier ratios (ablate mode)")
+    ap.add_argument("--budget", type=int, default=512,
+                    help="sample budget K shared by all samplers (ablate mode)")
     ap.add_argument("--fail-after-shard", type=int, default=None,
                     help="fault injection: crash after checkpointing this shard")
     args = ap.parse_args(argv)
 
-    if args.cpu:
-        import jax
+    import jax
 
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: estimator programs take minutes to
+    # compile cold on remote backends; repeat CLI runs reuse them.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/saccot_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     init_distributed()
 
@@ -78,6 +91,27 @@ def main(argv=None) -> int:
         )
         metrics.pop("trajectory", None)  # keep the stdout JSON line compact
         print(json.dumps(metrics))
+        return 0
+
+    if args.config == "ablate":
+        import dataclasses as _dc
+
+        from saccot_tpu.evaluation.ablation import format_table, run_sampler_ablation
+        from saccot_tpu.cli.configs import _OBJ_PARAMS
+
+        params = _dc.replace(_OBJ_PARAMS, max_hypotheses=args.budget)
+        res = run_sampler_ablation(
+            params,
+            outlier_ratios=tuple(float(x) for x in args.outliers.split(",")),
+            n_pairs=args.pairs or 32,
+            n_corr=args.corr or 1000,
+            seed=args.seed or 0,
+            impl="pallas" if jax.default_backend() == "tpu" else "jnp",
+        )
+        print(format_table(res), file=sys.stderr)
+        print(json.dumps({"recall": {s: {str(k): v for k, v in row.items()}
+                                     for s, row in res["recall"].items()},
+                          "budget": res["budget"]}))
         return 0
 
     cfg = CONFIGS[args.config]

@@ -81,3 +81,44 @@ def test_sampler_ablation_ordering_at_high_outliers():
     assert err["saccot"] < 3.0, (err, ninl)
     assert ninl["saccot"] >= ninl["edge"] >= ninl["ransac"], (err, ninl)
     assert err["ransac"] > 10.0, (err, ninl)  # random sampling fails here
+
+
+def test_run_sampler_ablation_sweep():
+    """Batched recall-vs-outlier-rate sweep (evaluation/ablation.py): the
+    recall ordering saccot >= edge >= random must hold per rate, and the
+    gap must be visible at the hardest rate."""
+    import dataclasses
+
+    from saccot_tpu.evaluation.ablation import format_table, run_sampler_ablation
+
+    params = dataclasses.replace(
+        PARAMS, num_anchors=96, neighbors_per_anchor=10, max_hypotheses=128,
+        refine_iters=0,
+    )
+    res = run_sampler_ablation(
+        params, outlier_ratios=(0.85, 0.95), n_pairs=8, n_corr=384, seed=5
+    )
+    rec = res["recall"]
+    for r in (0.85, 0.95):
+        assert rec["saccot"][r] >= rec["edge"][r] >= rec["random"][r], rec
+    assert rec["saccot"][0.95] >= 0.75, rec
+    assert rec["random"][0.95] <= 0.25, rec
+    table = format_table(res)
+    assert "saccot" in table and "85%" in table
+
+
+def test_cli_ablate_smoke(capsys):
+    """`saccot_tpu ablate` prints one JSON line with the recall table."""
+    import json
+
+    from saccot_tpu.cli.main import main
+
+    rc = main([
+        "ablate", "--cpu", "--pairs", "4", "--corr", "256",
+        "--outliers", "0.85", "--budget", "128",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(out)
+    assert set(payload["recall"]) == {"random", "edge", "saccot"}
+    assert payload["budget"] == 128
