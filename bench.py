@@ -131,6 +131,18 @@ def main():
     tpu_rate = BATCH * reps / dt
     log(f"tpu: {BATCH * reps} pairs in {dt:.2f}s -> {tpu_rate:.2f} pairs/s/chip")
 
+    # Roofline context: analytic hot-stage FLOPs at this operating point vs
+    # the v5e vector-unit peak (evaluation/roofline.py).
+    from saccot_tpu.evaluation.roofline import ChipPeaks, estimator_flop_count
+
+    flops_per_pair = estimator_flop_count(N, params)
+    achieved = flops_per_pair * tpu_rate
+    log(
+        f"achieved ~{achieved / 1e12:.3f} TFLOP/s over hot stages "
+        f"({achieved / ChipPeaks().vpu_f32_flops:.0%} of v5e VPU f32 peak; "
+        f"remainder is pool/solve layout work + dispatch)"
+    )
+
     # CPU oracle baseline on the identical problems (subset for time).
     n_cpu = 3
     t0 = time.time()

@@ -46,6 +46,9 @@ def main(argv=None) -> int:
     ap.add_argument("--log", type=str, default=None, help="JSONL per-pair log path")
     ap.add_argument("--ckpt", type=str, default=None, help="sweep checkpoint dir")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--icp", action="store_true",
+                    help="dense trimmed-ICP polish after the estimator "
+                         "(pipeline configs: bunny, u3m)")
     ap.add_argument("--outliers", type=str, default="0.8,0.9,0.95",
                     help="comma-separated outlier ratios (ablate mode)")
     ap.add_argument("--budget", type=int, default=512,
@@ -126,6 +129,18 @@ def main(argv=None) -> int:
         overrides["n_corr"] = args.corr
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
+    if args.icp:
+        if cfg.pipeline is None:
+            ap.error(f"--icp applies to pipeline configs, not {cfg.name!r}")
+        from saccot_tpu.engine.icp import IcpParams
+
+        cfg = dataclasses.replace(
+            cfg,
+            pipeline=dataclasses.replace(
+                cfg.pipeline,
+                icp=IcpParams(max_iters=10, max_corr_dist=6.0, trim_frac=0.8),
+            ),
+        )
 
     kw = {}
     if args.log:

@@ -122,3 +122,28 @@ def test_cli_ablate_smoke(capsys):
     payload = json.loads(out)
     assert set(payload["recall"]) == {"random", "edge", "saccot"}
     assert payload["budget"] == 128
+
+
+def test_roofline_model_accounting():
+    """Analytic roofline bounds (evaluation/roofline.py): binding resource
+    and fraction-of-peak arithmetic."""
+    from saccot_tpu.evaluation.roofline import (
+        ChipPeaks, compat_degrees_model, estimator_flop_count,
+        roofline_fraction, scoring_model,
+    )
+
+    m = compat_degrees_model(n=1000, batch=32)
+    assert m["flops"] == 25.0 * 32 * 1000 * 1000
+    assert m["bytes"] == 32 * 7000 * 4.0
+    # O(N^2) compute vs O(N) traffic: compute-bound by orders of magnitude.
+    peaks = ChipPeaks()
+    r = roofline_fraction(m, measured_seconds=1e-3, peaks=peaks)
+    assert r["binding"] == "compute"
+    expect = m["flops"] / peaks.vpu_f32_flops / 1e-3
+    assert abs(r["fraction_of_peak"] - expect) < 1e-9
+
+    s = scoring_model(n=1000, k=1024, batch=1)
+    assert s["flops"] == 28.0 * 1024 * 1000
+
+    total = estimator_flop_count(1000, PARAMS)
+    assert total > m["flops"] / 32  # degrees are included
