@@ -17,6 +17,7 @@ carries exactly the one JSON line the driver parses.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import sys
 import time
@@ -143,8 +144,42 @@ def main():
         f"remainder is pool/solve layout work + dispatch)"
     )
 
-    # CPU oracle baseline on the identical problems (subset for time).
-    n_cpu = 3
+    # Exact-config cross-check (dedup on, exact top-k): reported alongside
+    # the fast config so the headline is attributable to kernels, not to a
+    # config change (ADVICE r2). Recall-neutrality of the fast variants is
+    # separately verified at 0.9/0.95 outlier rates in
+    # tests/test_engine.py::test_fast_config_recall_neutral.
+    exact_params = dataclasses.replace(params, dedup_triangles=True, approx_topk=False)
+    fn_exact = jax.jit(
+        lambda a, b: register_batch(
+            a, b, exact_params,
+            compat_impl="pallas", score_impl="pallas", pool_impl="pallas",
+            solve_impl="pallas",
+        )
+    )
+    res_e = fn_exact(P_all, Q_all)
+    _ = np.asarray(res_e.num_inliers)
+    for _ in range(2):
+        res_e = fn_exact(P_all, Q_all)
+    _ = np.asarray(res_e.num_inliers)
+    t0 = time.time()
+    reps_e = 16
+    for _ in range(reps_e):
+        res_e = fn_exact(P_all, Q_all)
+    _ = np.asarray(res_e.num_inliers)
+    dt_e = time.time() - t0
+    log(
+        f"tpu exact config (dedup + exact top-k): "
+        f"{BATCH * reps_e / dt_e:.2f} pairs/s/chip"
+    )
+
+    # CPU oracle baseline on the identical problems. The oracle solves and
+    # scores all K hypotheses batched in NumPy (oracle/saccot.py
+    # umeyama_batch + score_hypotheses_np) — no Python-level per-hypothesis
+    # loop — and its cost is dominated by the exhaustive 3-clique
+    # enumeration the reference algorithm specifies. 16 pairs give a
+    # load-stable rate (measured +-4% across runs).
+    n_cpu = 16
     t0 = time.time()
     for s in range(n_cpu):
         oracle_sac_cot(probs[s]["P"], probs[s]["Q"], params)

@@ -21,11 +21,14 @@ from saccot_tpu.utils.logging import JsonlLogger
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="saccot_tpu", description=__doc__)
     ap.add_argument(
-        "config", choices=sorted(CONFIGS) + ["files", "sequence", "ablate"],
+        "config",
+        choices=sorted(CONFIGS) + ["files", "sequence", "ablate", "external"],
         help="benchmark config, 'files' to register two cloud files, "
-             "'sequence' to run odometry over a directory of scans, or "
+             "'sequence' to run odometry over a directory of scans, "
              "'ablate' for the paper-style sampler comparison "
-             "(random / edge-guided / triangle-guided at equal budgets)",
+             "(random / edge-guided / triangle-guided at equal budgets), or "
+             "'external' for the real-3DMatch protocol (per-fragment .npz "
+             "descriptors + gt.log -> RE/TE recall)",
     )
     ap.add_argument("--src", type=str, default=None, help="source cloud file (files mode)")
     ap.add_argument("--tgt", type=str, default=None, help="target cloud file (files mode)")
@@ -36,6 +39,9 @@ def main(argv=None) -> int:
     ap.add_argument("--poses", type=str, default=None,
                     help="KITTI-format ground-truth poses (sequence mode)")
     ap.add_argument("--stride", type=int, default=1, help="scan stride (sequence mode)")
+    ap.add_argument("--loops", action="store_true",
+                    help="propose + confirm loop closures and optimize the "
+                         "robust pose graph (sequence mode)")
     ap.add_argument("--descriptor", choices=["shot", "fpfh"], default="shot")
     ap.add_argument("--gt", type=str, default=None,
                     help="optional 4x4 ground-truth transform (whitespace text) to evaluate against")
@@ -55,6 +61,11 @@ def main(argv=None) -> int:
                     help="sample budget K shared by all samplers (ablate mode)")
     ap.add_argument("--fail-after-shard", type=int, default=None,
                     help="fault injection: crash after checkpointing this shard")
+    ap.add_argument("--gt-log", type=str, default=None,
+                    help="3DMatch-style gt.log of ground-truth pair transforms "
+                         "(external mode)")
+    ap.add_argument("--max-corr", type=int, default=2048,
+                    help="correspondence cap per pair (external mode)")
     args = ap.parse_args(argv)
 
     import jax
@@ -81,6 +92,20 @@ def main(argv=None) -> int:
         print(json.dumps(metrics))
         return 0
 
+    if args.config == "external":
+        from saccot_tpu.cli.external import run_external
+
+        if not args.dir or not args.gt_log:
+            ap.error("external mode requires --dir and --gt-log")
+        kw = {}
+        if args.log:
+            kw["log"] = JsonlLogger(args.log)
+        metrics = run_external(
+            args.dir, args.gt_log, max_correspondences=args.max_corr, **kw
+        )
+        print(json.dumps(metrics))
+        return 0
+
     if args.config == "sequence":
         from saccot_tpu.cli.sequence import run_sequence_files
 
@@ -90,7 +115,8 @@ def main(argv=None) -> int:
         if args.log:
             kw["log"] = JsonlLogger(args.log)
         metrics = run_sequence_files(
-            args.dir, fmt=args.fmt, poses_path=args.poses, stride=args.stride, **kw
+            args.dir, fmt=args.fmt, poses_path=args.poses, stride=args.stride,
+            loops=args.loops, **kw
         )
         metrics.pop("trajectory", None)  # keep the stdout JSON line compact
         print(json.dumps(metrics))

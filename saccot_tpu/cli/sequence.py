@@ -75,12 +75,28 @@ def run_sequence_files(
     bucket: int = 65536,
     stride: int = 1,
     log=None,
+    loops: bool = False,
+    loop_radius: Optional[float] = None,
+    loop_min_gap: int = 3,
+    max_loops: int = 16,
+    loop_min_inliers: int = 10,
+    loop_gate: float = 1.0,
+    pgo_iters: int = 12,
 ) -> Dict:
     """Odometry over a scan directory: consecutive registration + chaining.
 
     Returns aggregate metrics (per-pair records to `log` as JSONL). Poses
     follow target = T * source with source = scan i+stride, target = scan i,
     so chaining pose_{i+1} = pose_i @ T_i accumulates world-from-scan poses.
+
+    With `loops=True` the full config-5 flow runs (SURVEY.md section 3.5):
+    loop-closure candidates are proposed from the chained trajectory's
+    self-proximity (slam/frontend.propose_loop_candidates), each candidate
+    is confirmed or rejected by actually registering the pair from its
+    cached per-scan features, and the odometry chain + confirmed loops are
+    optimized as a robust pose graph (TLS gate `loop_gate` cuts any
+    confidently-wrong closure). Adds `loop_closures` / `ate_rmse_optimized`
+    to the metrics.
     """
     if cfg is None:
         cfg = default_sequence_config()
@@ -96,6 +112,8 @@ def run_sequence_files(
     prev_feat = None
     times, rot_errs, trans_errs = [], [], []
     n_inliers = []
+    feats = []       # per-scan features (kept only when loops=True)
+    rel_meas = []    # odometry measurements Z_{i,i+1}
     t_start = time.time()
     scans = _scan_iter(paths, fmt, max_pts)
     try:
@@ -106,12 +124,15 @@ def run_sequence_files(
             feat = extract_scan_features(
                 jnp.asarray(padded), cfg, mask=jnp.asarray(mask)
             )
+            if loops:
+                feats.append(feat)
             if prev_feat is not None:
                 t0 = time.time()
                 res = register_scan_features(feat, prev_feat, cfg)
                 T = np.asarray(res.registration.T, np.float64)  # barrier
                 times.append(time.time() - t0)
                 poses.append(poses[-1] @ T)
+                rel_meas.append(T)
                 n_inliers.append(int(res.registration.num_inliers))
                 rec = dict(
                     pair=(i - 1, i), wall_s=times[-1],
@@ -144,11 +165,95 @@ def run_sequence_files(
         mean_inliers=float(np.mean(n_inliers)) if n_inliers else 0.0,
         native_prefetch=native.available(),
     )
+
+    poses_opt = None
+    if loops and len(poses) > loop_min_gap:
+        poses_opt, loop_stats = _close_loops(
+            poses, rel_meas, n_inliers, feats, cfg,
+            loop_radius=loop_radius, loop_min_gap=loop_min_gap,
+            max_loops=max_loops, loop_min_inliers=loop_min_inliers,
+            loop_gate=loop_gate, pgo_iters=pgo_iters, log=log,
+        )
+        out.update(loop_stats)
+
     if gt_poses is not None:
         n = min(len(poses), len(gt_poses))
         out["ate_rmse"] = ate(np.asarray(poses[:n]), np.asarray(gt_poses[:n]))["rmse"]
+        if poses_opt is not None:
+            out["ate_rmse_optimized"] = ate(
+                np.asarray(poses_opt[:n]), np.asarray(gt_poses[:n])
+            )["rmse"]
         if rot_errs:
             out["mean_rot_err_deg"] = float(np.mean(rot_errs))
             out["mean_trans_err"] = float(np.mean(trans_errs))
-    out["trajectory"] = [p[:3, :].reshape(-1).tolist() for p in poses]
+    final = poses_opt if poses_opt is not None else poses
+    out["trajectory"] = [np.asarray(p)[:3, :].reshape(-1).tolist() for p in final]
     return out
+
+
+def _close_loops(
+    poses, rel_meas, n_inliers, feats, cfg,
+    loop_radius, loop_min_gap, max_loops, loop_min_inliers,
+    loop_gate, pgo_iters, log=None,
+):
+    """Propose -> confirm -> robustly optimize loop closures.
+
+    Returns (optimized poses [M, 4, 4] ndarray or the input chain when no
+    loop confirmed, stats dict).
+    """
+    from saccot_tpu.slam.frontend import propose_loop_candidates
+    from saccot_tpu.slam.posegraph import PoseGraph, optimize_pose_graph
+
+    poses_np = np.asarray(poses, np.float64)
+    if loop_radius is None:
+        steps = np.linalg.norm(
+            poses_np[1:, :3, 3] - poses_np[:-1, :3, 3], axis=-1
+        )
+        loop_radius = 1.5 * float(np.median(steps)) if len(steps) else 1.0
+    cand = propose_loop_candidates(
+        poses_np, min_gap=loop_min_gap, radius=loop_radius,
+        max_candidates=max_loops,
+    )
+
+    loop_e, loop_Z, loop_w = [], [], []
+    for (i, j) in cand:
+        # Register scan j (src) against scan i (tgt): T maps j into i's
+        # frame, which IS the pose-graph measurement Z_ij = T_i^{-1} T_j.
+        res = register_scan_features(feats[j], feats[i], cfg)
+        ni = int(res.registration.num_inliers)
+        ok = bool(res.registration.success) and ni >= loop_min_inliers
+        if log:
+            log.log(dict(loop_candidate=[int(i), int(j)],
+                         num_inliers=ni, confirmed=ok))
+        if ok:
+            loop_e.append((int(i), int(j)))
+            loop_Z.append(np.asarray(res.registration.T, np.float64))
+            loop_w.append(float(ni))
+
+    stats = dict(
+        loop_candidates=len(cand),
+        loop_closures=len(loop_e),
+        loop_radius=float(loop_radius),
+    )
+    if not loop_e:
+        return None, stats
+
+    M = len(poses_np)
+    mean_inl = max(float(np.mean(n_inliers)), 1.0)
+    ei = list(range(M - 1)) + [e[0] for e in loop_e]
+    ej = list(range(1, M)) + [e[1] for e in loop_e]
+    meas = np.stack([np.asarray(Z, np.float64) for Z in rel_meas] + loop_Z)
+    w = np.asarray(list(n_inliers) + loop_w, np.float64) / mean_inl
+    graph = PoseGraph(
+        poses=jnp.asarray(poses_np, jnp.float32),
+        edge_i=jnp.asarray(ei, jnp.int32),
+        edge_j=jnp.asarray(ej, jnp.int32),
+        meas=jnp.asarray(meas, jnp.float32),
+        weight=jnp.asarray(w, jnp.float32),
+    )
+    pgo = optimize_pose_graph(
+        graph, iters=pgo_iters, robust="tls", delta=loop_gate
+    )
+    stats["pgo_initial_cost"] = float(pgo.initial_cost)
+    stats["pgo_final_cost"] = float(pgo.final_cost)
+    return np.asarray(pgo.poses, np.float64), stats

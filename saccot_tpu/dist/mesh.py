@@ -48,25 +48,31 @@ def init_distributed(
 def make_mesh(
     pairs: int = 0,
     corr: int = 1,
+    hyp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ("pairs", "corr") mesh.
+    """Build a ("pairs", "hyp", "corr") mesh.
 
     pairs=0 means "use all remaining devices on the pairs axis". The default
     layout puts "corr" innermost so the latency-sensitive psum/all_gather
-    collectives of one registration problem ride neighboring ICI links, and
-    the embarrassingly-parallel "pairs" axis spans hosts/DCN.
+    collectives of one registration problem ride neighboring ICI links,
+    "hyp" (the TP analog: hypothesis-axis sharding of solve+scoring,
+    SURVEY.md section 2.2) next, and the embarrassingly-parallel "pairs"
+    axis spans hosts/DCN. hyp=1 (the default) degenerates to the classic
+    two-dimensional DP x SP layout; every PartitionSpec that ignores "hyp"
+    keeps working.
     """
     devs = list(devices if devices is not None else jax.devices())
     n = len(devs)
-    if corr < 1 or n % corr:
-        raise ValueError(f"corr={corr} must divide the device count {n}")
+    inner = corr * hyp
+    if corr < 1 or hyp < 1 or n % max(inner, 1):
+        raise ValueError(f"corr*hyp={inner} must divide the device count {n}")
     if pairs == 0:
-        pairs = n // corr
-    if pairs * corr > n:
-        raise ValueError(f"mesh {pairs}x{corr} exceeds {n} devices")
-    grid = np.asarray(devs[: pairs * corr]).reshape(pairs, corr)
-    return Mesh(grid, axis_names=("pairs", "corr"))
+        pairs = n // inner
+    if pairs * inner > n:
+        raise ValueError(f"mesh {pairs}x{hyp}x{corr} exceeds {n} devices")
+    grid = np.asarray(devs[: pairs * inner]).reshape(pairs, hyp, corr)
+    return Mesh(grid, axis_names=("pairs", "hyp", "corr"))
 
 
 def pair_sharding(mesh: Mesh) -> NamedSharding:

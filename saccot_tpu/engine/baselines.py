@@ -24,6 +24,7 @@ latency on a CPU, while on the MXU/VPU the K hypotheses are one tensor op.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -132,6 +133,14 @@ def _edge_guided(P, Q, mask, params: SacCotParams, seed) -> BaselineResult:
     return _score_refine(R, t, P, Q, m, params, valid)
 
 
+# Module-level jitted wrappers: one trace per params value, with `seed`
+# traced (PRNGKey accepts traced ints) so new seeds never retrace.
+_ransac_jit = functools.partial(jax.jit, static_argnames=("params",))(_ransac)
+_edge_guided_jit = functools.partial(jax.jit, static_argnames=("params",))(
+    _edge_guided
+)
+
+
 def ransac_register_pair(
     P: jnp.ndarray,
     Q: jnp.ndarray,
@@ -140,9 +149,7 @@ def ransac_register_pair(
     seed: int = 0,
 ) -> BaselineResult:
     """Classic 3-point RANSAC at a fixed sample budget of params.max_hypotheses."""
-    return jax.jit(_ransac, static_argnames=("params", "seed"))(
-        P, Q, mask, params=params, seed=seed
-    )
+    return _ransac_jit(P, Q, mask, params=params, seed=jnp.uint32(seed))
 
 
 def edge_guided_register_pair(
@@ -153,9 +160,7 @@ def edge_guided_register_pair(
     seed: int = 0,
 ) -> BaselineResult:
     """Two-point compatibility-edge-guided sampling (the paper's mid ablation)."""
-    return jax.jit(_edge_guided, static_argnames=("params", "seed"))(
-        P, Q, mask, params=params, seed=seed
-    )
+    return _edge_guided_jit(P, Q, mask, params=params, seed=jnp.uint32(seed))
 
 
 def sampler_ablation(

@@ -67,9 +67,9 @@ class IcpResult(NamedTuple):
     T: jnp.ndarray            # [4, 4] refined transform (tgt <- src)
     R: jnp.ndarray            # [3, 3]
     t: jnp.ndarray            # [3]
-    rmse: jnp.ndarray         # float32: final weighted inlier RMSE
-    rmse_trace: jnp.ndarray   # [max_iters] per-iteration RMSE
-    num_matched: jnp.ndarray  # int32: weight-positive matches at the last step
+    rmse: jnp.ndarray         # float32: weighted inlier RMSE evaluated at T
+    rmse_trace: jnp.ndarray   # [max_iters] RMSE after each update; [-1] == rmse
+    num_matched: jnp.ndarray  # int32: weight-positive matches under final T
 
 
 def nearest_neighbors(
@@ -189,18 +189,23 @@ def icp(
         keep = jnp.sum(w) >= 3.0
         T_new = jnp.where(keep, T_new, T)
         n_matched = jnp.sum(w > 0).astype(jnp.int32)
-        return T_new, (rmse, n_matched)
+        return T_new, (T, rmse, n_matched)
 
-    T_final, (rmse_trace, matched_trace) = lax.scan(
-        step, T_init, None, length=params.max_iters
+    # rmse inside `step` evaluates the transform *entering* the step, so one
+    # extra evaluation-only iteration (whose update is discarded) makes the
+    # reported rmse/num_matched describe T_final itself, not the
+    # second-to-last iterate. Ts[i] is the transform after i updates.
+    _, (Ts, rmse_trace, matched_trace) = lax.scan(
+        step, T_init, None, length=params.max_iters + 1
     )
+    T_final = Ts[params.max_iters]
     return IcpResult(
         T=T_final,
         R=T_final[:3, :3],
         t=T_final[:3, 3],
-        rmse=rmse_trace[-1],
-        rmse_trace=rmse_trace,
-        num_matched=matched_trace[-1],
+        rmse=rmse_trace[params.max_iters],
+        rmse_trace=rmse_trace[1:],
+        num_matched=matched_trace[params.max_iters],
     )
 
 

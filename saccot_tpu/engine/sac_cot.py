@@ -63,6 +63,7 @@ def _register_pair(
     corr_axis: Optional[str] = None,
     pool_impl: str = "jnp",
     solve_impl: str = "jnp",
+    hyp_axis: Optional[str] = None,
 ) -> RegistrationResult:
     P = P.astype(jnp.float32)
     Q = Q.astype(jnp.float32)
@@ -108,15 +109,33 @@ def _register_pair(
             P_full, Q_full, deg_full, params, mask=m_full, impl=pool_impl
         )
 
+    if hyp_axis is not None:
+        # TP (SURVEY.md section 2.2): shard the K hypotheses over a mesh
+        # axis — each device solves and scores its K/d slice of the
+        # (replicated) triangle pool; the best hypothesis is reduced
+        # globally below, and the refine tail stays replicated.
+        d_h = lax.axis_size(hyp_axis)
+        K = pool.scores.shape[0]
+        if K % d_h:
+            raise ValueError(
+                f"max_hypotheses={K} must be divisible by the hyp axis size {d_h}"
+            )
+        k_loc = K // d_h
+        k0 = lax.axis_index(hyp_axis) * k_loc
+        triples = lax.dynamic_slice_in_dim(pool.triples, k0, k_loc, axis=0)
+        hyp_valid = lax.dynamic_slice_in_dim(pool.valid, k0, k_loc, axis=0)
+    else:
+        triples, hyp_valid = pool.triples, pool.valid
+
     with jax.named_scope("saccot_svd3"):
         from saccot_tpu.kernels.solve3 import MAX_N_SOLVE, solve3_pallas
         if solve_impl == "pallas" and P_full.shape[0] <= MAX_N_SOLVE:
             # Fused gather + Horn solve; ~5x over the XLA gather + SoA
             # iteration at the bench operating point (same quaternion core).
-            R, t = solve3_pallas(P_full, Q_full, pool.triples)
+            R, t = solve3_pallas(P_full, Q_full, triples)
         else:
-            tp = P_full[pool.triples]  # [K, 3, 3]
-            tq = Q_full[pool.triples]
+            tp = P_full[triples]  # [K, 3, 3]
+            tq = Q_full[triples]
             R, t = umeyama(tp, tq)
 
     with jax.named_scope("saccot_score"):
@@ -131,10 +150,21 @@ def _register_pair(
                 R, t, P, Q, params.inlier_tau, mask=m, mode=params.scoring,
                 block_k=params.score_block_k, axis_name=corr_axis,
             )
-        scores = jnp.where(pool.valid, scores, -1.0)
+        scores = jnp.where(hyp_valid, scores, -1.0)
         best = jnp.argmax(scores)
         best_score = scores[best]
         Rb, tb = R[best], t[best]
+        if hyp_axis is not None:
+            # Global best across hypothesis shards: gather each shard's
+            # champion (tiny: d_h scalars + transforms) and argmax. Shards
+            # are gathered in axis order, so the combined argmax keeps the
+            # single-device first-maximum tie-break exactly.
+            g_scores = lax.all_gather(best_score, hyp_axis)  # [d_h]
+            g_R = lax.all_gather(Rb, hyp_axis)               # [d_h, 3, 3]
+            g_t = lax.all_gather(tb, hyp_axis)               # [d_h, 3]
+            g_best = jnp.argmax(g_scores)
+            best_score = g_scores[g_best]
+            Rb, tb = g_R[g_best], g_t[g_best]
 
     with jax.named_scope("saccot_refine"):
         inl = score_mod.inlier_mask(Rb, tb, P, Q, params.inlier_tau, mask=m)
@@ -210,16 +240,43 @@ def register_pair_sp(
     score_impl: str = "jnp",
     pool_impl: str = "jnp",
     solve_impl: str = "jnp",
+    hyp_axis: Optional[str] = None,
 ) -> RegistrationResult:
     """Correspondence-axis-sharded estimator body, for use inside shard_map.
 
     Each device passes its [N/d, 3] shard; the returned `inliers` is the
     local shard (stitch with out_specs P(corr_axis)); scalar fields are
-    replicated/global.
+    replicated/global. Pass `hyp_axis` to additionally shard the hypothesis
+    pool over a second mesh axis (the TP analog, SURVEY.md section 2.2).
     """
     return _register_pair(
         P_shard, Q_shard, mask_shard, params, compat_impl, score_impl,
         corr_axis=corr_axis, pool_impl=pool_impl, solve_impl=solve_impl,
+        hyp_axis=hyp_axis,
+    )
+
+
+def register_pair_tp(
+    P: jnp.ndarray,
+    Q: jnp.ndarray,
+    params: SacCotParams,
+    hyp_axis: str,
+    mask: Optional[jnp.ndarray] = None,
+    compat_impl: str = "jnp",
+    score_impl: str = "jnp",
+    pool_impl: str = "jnp",
+    solve_impl: str = "jnp",
+) -> RegistrationResult:
+    """Hypothesis-axis (TP) sharded estimator body, for use inside shard_map.
+
+    Points are replicated on every device; the K-hypothesis pool is sliced
+    K/d per device, solve+scoring run on the slice, and the global best is
+    argmax-reduced via a tiny all_gather (SURVEY.md section 2.2, TP row).
+    All returned fields are replicated.
+    """
+    return _register_pair(
+        P, Q, mask, params, compat_impl, score_impl,
+        pool_impl=pool_impl, solve_impl=solve_impl, hyp_axis=hyp_axis,
     )
 
 

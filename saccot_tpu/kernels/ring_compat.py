@@ -29,8 +29,11 @@ buffer's reuse explicit — a device signals its LEFT neighbor that the slot
 is consumable before the neighbor may start writing it, which is exactly
 the invariant `InterpretParams(detect_races=True)` checks in the CPU
 simulation tests (tests/test_dist.py). Scores match engine.compat.score_block
-bit-for-bit per block; only f32 summation order differs from the monolithic
-degree computation.
+up to f32 rounding: the kernel differences coordinates directly while
+score_block uses the Gram trick, so last-ulp distance differences (and hence
+threshold decisions within one ulp of tau/min_sep) can differ, and the f32
+summation order of the degree reduction differs from the monolithic path.
+The parity tests use rtol=1e-5 accordingly.
 """
 
 from __future__ import annotations

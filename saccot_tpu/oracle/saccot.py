@@ -136,6 +136,64 @@ def umeyama(p: np.ndarray, q: np.ndarray, w: Optional[np.ndarray] = None) -> Tup
     return R, t
 
 
+def umeyama_batch(p: np.ndarray, q: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched unweighted Horn/Umeyama: p, q [K, M, 3] -> (R [K,3,3], t [K,3]).
+
+    Same algorithm as `umeyama` (SVD of the cross-covariance with the det<0
+    reflection fix), batched over the hypothesis axis so the oracle scores
+    all K minimal samples without a Python-level per-hypothesis loop.
+    """
+    p = np.asarray(p, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    pbar = p.mean(axis=1)
+    qbar = q.mean(axis=1)
+    pc = p - pbar[:, None, :]
+    qc = q - qbar[:, None, :]
+    H = np.einsum("kmi,kmj->kij", pc, qc)  # [K, 3, 3]
+    U, _, Vt = np.linalg.svd(H)
+    V = np.swapaxes(Vt, -1, -2)
+    Ut = np.swapaxes(U, -1, -2)
+    d = np.sign(np.linalg.det(V @ Ut))  # [K]
+    D = np.zeros_like(H)
+    D[:, 0, 0] = 1.0
+    D[:, 1, 1] = 1.0
+    D[:, 2, 2] = d
+    R = V @ D @ Ut
+    t = qbar - np.einsum("kij,kj->ki", R, pbar)
+    return R, t
+
+
+def score_hypotheses_np(
+    R: np.ndarray,
+    t: np.ndarray,
+    P: np.ndarray,
+    Q: np.ndarray,
+    params: SacCotParams,
+    mask: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched hypothesis scoring: one [K, N] residual einsum.
+
+    Returns (scores [K], counts [K]): counts = inlier counts; scores follow
+    params.scoring ("count" -> counts as float, "weighted" -> MSAC-style
+    soft weights), identical to the per-hypothesis formulas in `sac_cot`.
+    """
+    # [K, N, 3] residuals in one shot.
+    x = np.einsum("kij,nj->kni", R, P) + t[:, None, :] - Q[None, :, :]
+    d = np.linalg.norm(x, axis=-1)  # [K, N]
+    inl = d < params.inlier_tau
+    if mask is not None:
+        inl = inl & np.asarray(mask, dtype=bool)[None, :]
+    counts = inl.sum(axis=1)
+    if params.scoring == "weighted":
+        w = np.maximum(0.0, 1.0 - d / params.inlier_tau)
+        if mask is not None:
+            w = w * np.asarray(mask, dtype=np.float64)[None, :]
+        scores = w.sum(axis=1)
+    else:
+        scores = counts.astype(np.float64)
+    return scores, counts
+
+
 def count_inliers(
     R: np.ndarray,
     t: np.ndarray,
@@ -177,19 +235,22 @@ def sac_cot(
         R=np.eye(3), t=np.zeros(3), score=-1.0, num_inliers=0,
         inliers=np.zeros(N, dtype=bool),
     )
-    for (i, j, k) in triples:
-        R, t = umeyama(P[[i, j, k]], Q[[i, j, k]])
-        n_inl, inl = count_inliers(R, t, P, Q, params.inlier_tau, mask)
-        if params.scoring == "weighted":
-            d = np.linalg.norm(P @ R.T + t - Q, axis=-1)
-            w = np.maximum(0.0, 1.0 - d / params.inlier_tau)
-            if mask is not None:
-                w = w * mask
-            score = float(w.sum())
-        else:
-            score = float(n_inl)
-        if score > best["score"]:
-            best = dict(R=R, t=t, score=score, num_inliers=n_inl, inliers=inl)
+    if triples.shape[0] > 0:
+        # Batched solve + score over all K hypotheses at once: [K,3,3]
+        # gathers -> batched Horn -> one [K,N] residual reduction. Same
+        # math as the scalar loop (umeyama/count_inliers per triple),
+        # argmax keeps the first maximum exactly like sequential
+        # strictly-greater replacement.
+        Rk, tk = umeyama_batch(P[triples], Q[triples])
+        scores_k, counts_k = score_hypotheses_np(Rk, tk, P, Q, params, mask)
+        b = int(np.argmax(scores_k))
+        n_inl, inl = count_inliers(
+            Rk[b], tk[b], P, Q, params.inlier_tau, mask
+        )
+        best = dict(
+            R=Rk[b], t=tk[b], score=float(scores_k[b]),
+            num_inliers=n_inl, inliers=inl,
+        )
 
     # Polish: re-fit on the inlier set, fixed iteration count (matches the
     # TPU engine's branchless refinement).

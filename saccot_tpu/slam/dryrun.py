@@ -62,7 +62,17 @@ def dryrun_ba_step(mesh: Mesh) -> None:
             ),
             check_vma=False,
         )
-        res = jax.jit(fn)(prob.landmarks, prob.obs_pose, prob.obs_z, prob.obs_w)
+        args = (prob.landmarks, prob.obs_pose, prob.obs_z, prob.obs_w)
+        if jax.process_count() > 1:
+            # Multi-process run (scripts/multiprocess_dryrun.py): every
+            # process built the identical host-local problem (same seed);
+            # stitch them into global arrays the sharded program accepts.
+            from jax.experimental import multihost_utils
+
+            args = multihost_utils.host_local_array_to_global_array(
+                args, mesh, (P(), P(), P(), P())
+            )
+        res = jax.jit(fn)(*args)
     jax.block_until_ready(res.poses)
     ic, fc = float(res.initial_cost), float(res.final_cost)
     assert fc <= ic, f"BA dryrun cost went up: {ic} -> {fc}"

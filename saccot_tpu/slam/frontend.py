@@ -43,17 +43,80 @@ class SequenceResult(NamedTuple):
     num_failed_edges: int            # edges below min_inliers / unsuccessful
 
 
+def edge_information(
+    reg: RegistrationResult,     # batched over E
+    edge_P: jnp.ndarray,         # [E, N, 3] source points (frame i)
+    edge_Q: jnp.ndarray,         # [E, N, 3] target points (frame j)
+    sigma_floor: float = 1e-3,
+) -> jnp.ndarray:
+    """[E, 6, 6] information matrices from the estimator's inlier statistics.
+
+    First-order propagation of the registration's Gauss-Newton information:
+    each inlier residual r_n = R p_n + t - q_n has Jacobian
+    J_n = R [I | -hat(p_n)] w.r.t. a right perturbation of the estimated
+    transform, so (R drops out under J^T J)
+
+        H = (1/sigma^2) sum_n w_n [[I,        -hat(p_n)     ],
+                                   [hat(p_n), |p_n|^2 I - p_n p_n^T]]
+
+    with sigma^2 the weighted mean squared inlier residual (floored at
+    sigma_floor^2 so near-perfect fits don't produce unbounded confidence).
+    The closed form needs only three inlier moments (sum w, sum w p,
+    sum w p p^T) — no per-point 6x6 products are materialized. Edges with
+    <3 inliers get a tiny isotropic information so the graph keeps static
+    shapes without letting failed edges constrain anything.
+    """
+    P = edge_P.astype(jnp.float32)
+    Q = edge_Q.astype(jnp.float32)
+    w = reg.inliers.astype(jnp.float32)  # [E, N]
+
+    # Residuals under the estimated transforms (for sigma^2).
+    x = jnp.einsum("eij,enj->eni", reg.R, P) + reg.t[:, None, :] - Q
+    d2 = jnp.sum(x * x, axis=-1)                       # [E, N]
+    S0 = jnp.sum(w, axis=-1)                           # [E]
+    sigma2 = jnp.sum(w * d2, axis=-1) / jnp.maximum(S0, 1.0)
+    sigma2 = jnp.maximum(sigma2, sigma_floor**2)       # [E]
+
+    S1 = jnp.einsum("en,eni->ei", w, P)                # [E, 3]
+    S2 = jnp.einsum("en,eni,enj->eij", w, P, P)        # [E, 3, 3]
+    eye3 = jnp.eye(3, dtype=P.dtype)
+
+    def hat(v):
+        zeros = jnp.zeros_like(v[..., 0])
+        return jnp.stack([
+            jnp.stack([zeros, -v[..., 2], v[..., 1]], axis=-1),
+            jnp.stack([v[..., 2], zeros, -v[..., 0]], axis=-1),
+            jnp.stack([-v[..., 1], v[..., 0], zeros], axis=-1),
+        ], axis=-2)
+
+    tl = S0[:, None, None] * eye3                      # [E, 3, 3]
+    tr = -hat(S1)
+    br = jnp.trace(S2, axis1=-2, axis2=-1)[:, None, None] * eye3 - S2
+    H = jnp.concatenate([
+        jnp.concatenate([tl, tr], axis=-1),
+        jnp.concatenate([-tr, br], axis=-1),
+    ], axis=-2) / sigma2[:, None, None]                # [E, 6, 6]
+
+    ok = (reg.success & (S0 >= 3.0))[:, None, None]
+    tiny = 1e-6 * jnp.broadcast_to(jnp.eye(6, dtype=P.dtype), H.shape)
+    return jnp.where(ok, H, tiny)
+
+
 def registrations_to_graph(
     n_scans: int,
     edges: jnp.ndarray,          # [E, 2] (i, j)
     reg: RegistrationResult,     # batched over E
     min_inliers: int = 5,
+    edge_P: Optional[jnp.ndarray] = None,
+    edge_Q: Optional[jnp.ndarray] = None,
 ) -> PoseGraph:
     """Build a PoseGraph from batched edge registrations.
 
-    Edge weight = inlier count (a crude but effective information proxy);
-    failed edges (few inliers / no triangles) get weight ~0 so they don't
-    corrupt the solve but keep static shapes.
+    With `edge_P`/`edge_Q` given, full [E, 6, 6] information matrices are
+    derived from the estimator's inlier statistics (`edge_information`);
+    otherwise edge weight = inlier count (a crude but effective information
+    proxy). Failed edges (few inliers / no triangles) get weight ~0 so they
+    don't corrupt the solve but keep static shapes.
 
     Caveat surfaced via SequenceResult.num_failed_edges: a *failed odometry*
     edge leaves every later pose initialized at the break point (its
@@ -67,6 +130,14 @@ def registrations_to_graph(
     ok = reg.success & (reg.num_inliers >= min_inliers)
     w = jnp.where(ok, reg.num_inliers.astype(jnp.float32), 1e-6)
 
+    info = None
+    if edge_P is not None and edge_Q is not None:
+        info = edge_information(reg, jnp.asarray(edge_P), jnp.asarray(edge_Q))
+        info = jnp.where(
+            ok[:, None, None], info,
+            1e-6 * jnp.broadcast_to(jnp.eye(6, dtype=info.dtype), info.shape),
+        )
+
     # Initial guess: chain the odometry edges (assumed to be the first
     # n_scans-1 edges, in order — the sequence harness guarantees this).
     odo = Z[: n_scans - 1]
@@ -77,6 +148,7 @@ def registrations_to_graph(
         edge_j=edges[:, 1].astype(jnp.int32),
         meas=Z,
         weight=w,
+        info=info,
     )
 
 
@@ -135,6 +207,31 @@ def correspondences_to_ba(
     )
 
 
+def propose_loop_candidates(
+    poses: np.ndarray,
+    min_gap: int = 3,
+    radius: float = 1.0,
+    max_candidates: int = 32,
+) -> np.ndarray:
+    """Loop-closure candidates by trajectory proximity (host-side).
+
+    After odometry chaining, scans whose estimated positions fall within
+    `radius` of each other but are at least `min_gap` apart in time are
+    candidate loop closures (SURVEY.md section 3.5, "odometry + loop
+    candidates") — the registration engine then confirms or rejects each by
+    actually registering the pair. Returns [C, 2] (i, j) with i < j, closest
+    first, capped at max_candidates.
+    """
+    t = np.asarray(poses, np.float64)[:, :3, 3]  # [M, 3]
+    d = np.linalg.norm(t[:, None, :] - t[None, :, :], axis=-1)
+    M = t.shape[0]
+    ii, jj = np.triu_indices(M, k=min_gap)
+    sel = d[ii, jj] < radius
+    ii, jj = ii[sel], jj[sel]
+    order = np.argsort(d[ii, jj], kind="stable")[:max_candidates]
+    return np.stack([ii[order], jj[order]], axis=1).astype(np.int64)
+
+
 def run_sequence(
     n_scans: int,
     edges: np.ndarray,
@@ -145,12 +242,26 @@ def run_sequence(
     run_ba: bool = True,
     ba_iters: int = 5,
     max_landmarks: int = 2048,
+    use_info: bool = True,
+    robust: Optional[str] = "huber",
+    robust_delta: float = 3.0,
 ) -> SequenceResult:
     """Full sequence SLAM on one device (the sharded variant lives in
-    dist/sweep.py + slam/dryrun.py composition)."""
+    dist/sweep.py + slam/dryrun.py composition).
+
+    use_info derives [E, 6, 6] information matrices from the inlier
+    statistics (edge_information); robust selects the pose-graph loss
+    ("huber"/"dcs"/None) with threshold `robust_delta` on the whitened
+    residual.
+    """
     reg = register_batch(jnp.asarray(edge_P), jnp.asarray(edge_Q), params)
-    graph = registrations_to_graph(n_scans, jnp.asarray(edges), reg)
-    pgo = optimize_pose_graph(graph, iters=pgo_iters)
+    graph = registrations_to_graph(
+        n_scans, jnp.asarray(edges), reg,
+        edge_P=jnp.asarray(edge_P) if use_info else None,
+        edge_Q=jnp.asarray(edge_Q) if use_info else None,
+    )
+    pgo = optimize_pose_graph(graph, iters=pgo_iters, robust=robust,
+                              delta=robust_delta)
     n_failed = int(
         np.sum(~(np.asarray(reg.success) & (np.asarray(reg.num_inliers) >= 5)))
     )

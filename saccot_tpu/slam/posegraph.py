@@ -57,22 +57,81 @@ def _edge_jacobians(T_i, T_j, Z_ij):
     return r, J_i, J_j
 
 
-def _assemble_normal_system(poses, graph: PoseGraph):
+def _edge_sq_error(r, graph: PoseGraph):
+    """Per-edge weighted squared error s_e = r^T L r (or w |r|^2)."""
+    if graph.info is not None:
+        return jnp.einsum("ea,eab,eb->e", r, graph.info, r)
+    return graph.weight * jnp.sum(r * r, axis=-1)
+
+
+def robust_weight(s, robust: Optional[str], delta: float):
+    """IRLS weight omega(s) for weighted squared error s.
+
+    "huber": omega = min(1, delta/sqrt(s)) — quadratic near zero, linear
+      tails; delta is in units of the *whitened* residual (sqrt of the
+      weighted squared error).
+    "dcs": dynamic covariance scaling, omega = min(1, 2*delta^2/(delta^2+s))
+      — redescending: a confidently-wrong edge (huge s) is driven to ~small
+      influence rather than merely linearized.
+    "tls": truncated least squares / switchable gate, omega = 1{s <= delta^2}
+      — the hard-redescending loss. An edge whose whitened residual exceeds
+      delta contributes *zero* gradient, so a confidently-wrong loop closure
+      (high inlier weight, wrong transform) is cut entirely the moment the
+      odometry-chain init exposes it; this is the loss that survives the
+      planted-false-loop test. With chi^2_6-whitened residuals (info
+      matrices from edge_information), delta ~ 4.1 is the 99% gate.
+    """
+    if robust is None or robust == "none":
+        return jnp.ones_like(s)
+    s = jnp.maximum(s, 1e-12)
+    if robust == "huber":
+        return jnp.minimum(1.0, delta / jnp.sqrt(s))
+    if robust == "dcs":
+        phi = delta * delta
+        return jnp.minimum(1.0, 2.0 * phi / (phi + s))
+    if robust == "tls":
+        return (s <= delta * delta).astype(s.dtype)
+    raise ValueError(f"unknown robust loss {robust!r}")
+
+
+def robust_cost(s, robust: Optional[str], delta: float):
+    """rho(s): the robust cost whose IRLS weight is `robust_weight`."""
+    if robust is None or robust == "none":
+        return s
+    s = jnp.maximum(s, 0.0)
+    if robust == "huber":
+        rt = jnp.sqrt(jnp.maximum(s, 1e-12))
+        return jnp.where(rt <= delta, s, 2.0 * delta * rt - delta * delta)
+    if robust == "dcs":
+        phi = delta * delta
+        # smooth, monotone, saturating at phi — the guard only needs
+        # monotonicity w.r.t. each edge's error.
+        return phi * s / (phi + s)
+    if robust == "tls":
+        return jnp.minimum(s, delta * delta)
+    raise ValueError(f"unknown robust loss {robust!r}")
+
+
+def _assemble_normal_system(
+    poses, graph: PoseGraph, robust: Optional[str] = None, delta: float = 1.0
+):
     """Dense H [6M, 6M], b [6M] from all edges (one scatter)."""
     M = poses.shape[0]
     Ti = poses[graph.edge_i]
     Tj = poses[graph.edge_j]
     r, J_i, J_j = jax.vmap(_edge_jacobians)(Ti, Tj, graph.meas)  # [E,6],[E,6,6]x2
 
+    omega = robust_weight(_edge_sq_error(r, graph), robust, delta)  # [E]
+
     if graph.info is not None:
-        L = graph.info  # [E, 6, 6]
+        L = graph.info * omega[:, None, None]  # [E, 6, 6]
         LJ_i = jnp.einsum("eab,ebc->eac", L, J_i)
         LJ_j = jnp.einsum("eab,ebc->eac", L, J_j)
         Lr = jnp.einsum("eab,eb->ea", L, r)
     else:
-        w = graph.weight[:, None, None]
+        w = (graph.weight * omega)[:, None, None]
         LJ_i, LJ_j = w * J_i, w * J_j
-        Lr = graph.weight[:, None] * r
+        Lr = (graph.weight * omega)[:, None] * r
 
     # Block contributions: H[ii] += Ji^T L Ji, H[ij] += Ji^T L Jj, etc.
     Hii = jnp.einsum("eba,ebc->eac", J_i, LJ_i)
@@ -108,43 +167,58 @@ class PGOResult(NamedTuple):
     initial_cost: jnp.ndarray
 
 
-def graph_cost(poses, graph: PoseGraph) -> jnp.ndarray:
+def graph_cost(
+    poses, graph: PoseGraph, robust: Optional[str] = None, delta: float = 1.0
+) -> jnp.ndarray:
     r = jax.vmap(edge_residual)(poses[graph.edge_i], poses[graph.edge_j], graph.meas)
-    if graph.info is not None:
-        return jnp.sum(jnp.einsum("ea,eab,eb->e", r, graph.info, r))
-    return jnp.sum(graph.weight * jnp.sum(r * r, axis=-1))
+    return jnp.sum(robust_cost(_edge_sq_error(r, graph), robust, delta))
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "robust"))
 def optimize_pose_graph(
     graph: PoseGraph,
     iters: int = 10,
     damping: float = 1e-6,
+    robust: Optional[str] = None,
+    delta: float = 1.0,
 ) -> PGOResult:
-    """Gauss-Newton with pose-0 gauge fix, fixed iteration count, one jit."""
+    """Gauss-Newton with pose-0 gauge fix, fixed iteration count, one jit.
+
+    robust: None (plain least squares), "huber", or "dcs" — iteratively
+    reweighted (IRLS) inside each GN step, with the step-acceptance guard
+    evaluated on the matching robust cost so outlier edges cannot drag the
+    trajectory. For a *confidently-wrong* loop closure (huge weight, wrong
+    transform) use "dcs": it is redescending, driving such an edge's
+    influence to ~zero; Huber's linear tail only tempers it.
+
+    Damping is Levenberg-Marquardt-adaptive: a rejected step multiplies the
+    damping by 10 and retries smaller next iteration (instead of deadlocking
+    on the same rejected full GN step), an accepted step relaxes it.
+    """
     M = graph.poses.shape[0]
-    initial_cost = graph_cost(graph.poses, graph)
+    initial_cost = graph_cost(graph.poses, graph, robust, delta)
 
     def gn_step(state, _):
-        poses, cost = state  # cost of `poses`, carried to avoid recompute
-        H, b = _assemble_normal_system(poses, graph)
+        poses, cost, lam = state  # cost of `poses`, carried to avoid recompute
+        H, b = _assemble_normal_system(poses, graph, robust, delta)
         # Gauge: pin pose 0 by masking its rows/cols and unit diagonal.
         free = (jnp.arange(M * 6) >= 6).astype(poses.dtype)
         H = H * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
         b = b * free
-        H = H + damping * jnp.eye(M * 6, dtype=poses.dtype)
+        H = H + lam * jnp.eye(M * 6, dtype=poses.dtype)
         dx = jnp.linalg.solve(H, -b).reshape(M, 6)
         new_poses = se3.compose(poses, se3.exp_se3(dx))
-        # Guard: reject a step that increases cost (keeps GN monotone even
-        # on nasty graphs; branchless select).
-        new_cost = graph_cost(new_poses, graph)
+        # LM accept/reject (branchless select).
+        new_cost = graph_cost(new_poses, graph, robust, delta)
         better = new_cost <= cost
         poses = jnp.where(better, new_poses, poses)
         cost = jnp.where(better, new_cost, cost)
-        return (poses, cost), None
+        lam = jnp.where(better, jnp.maximum(lam * 0.3, damping), lam * 10.0)
+        return (poses, cost, lam), None
 
-    (poses, final_cost), _ = jax.lax.scan(
-        gn_step, (graph.poses, initial_cost), None, length=iters
+    lam0 = jnp.asarray(damping, graph.poses.dtype)
+    (poses, final_cost, _), _ = jax.lax.scan(
+        gn_step, (graph.poses, initial_cost, lam0), None, length=iters
     )
     return PGOResult(
         poses=poses,

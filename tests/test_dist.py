@@ -244,3 +244,62 @@ def test_ring_compat_pallas_via_estimator(eight_devices):
     E = np.asarray(res.T, np.float64) @ np.linalg.inv(np.asarray(ref.T, np.float64))
     assert se3np.rotation_angle_deg(E[:3, :3]) < 0.05
     assert int(res.num_inliers) == int(ref.num_inliers)
+
+
+def test_tp_register_matches_single_device(eight_devices):
+    """Hypothesis-axis (TP) sharding: 8-way K-shard must reproduce the
+    single-device registration exactly (SURVEY.md section 2.2, TP row)."""
+    from saccot_tpu.engine.sac_cot import RegistrationResult, register_pair_tp
+
+    prob = correspondence_problem(seed=400, n=N, outlier_ratio=0.5)
+    Pv, Qv = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    mask = jnp.ones((N,), jnp.float32)
+    mesh = make_mesh(pairs=1, corr=1, hyp=8)
+
+    fn = jax.shard_map(
+        lambda p, q, m: register_pair_tp(p, q, PARAMS, "hyp", mask=m),
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=RegistrationResult(
+            R=P(), t=P(), T=P(), inliers=P(), num_inliers=P(),
+            best_score=P(), num_valid_triangles=P(), success=P(),
+        ),
+        check_vma=False,
+    )
+    res = jax.jit(fn)(Pv, Qv, mask)
+    ref = register_pair(Pv, Qv, PARAMS)
+    E = np.asarray(res.T, np.float64) @ np.linalg.inv(np.asarray(ref.T, np.float64))
+    assert se3np.rotation_angle_deg(E[:3, :3]) < 0.05
+    assert int(res.num_inliers) == int(ref.num_inliers)
+    assert float(res.best_score) == float(ref.best_score)
+    np.testing.assert_array_equal(np.asarray(res.inliers), np.asarray(ref.inliers))
+
+
+def test_dp_x_tp_x_sp_sweep_matches_single_device(eight_devices, batch):
+    """All three parallelism axes at once: 2x2x2 mesh parity."""
+    P_all, Q_all, T_gt = batch
+    mesh = make_mesh(pairs=2, corr=2, hyp=2)
+    sweep = make_sweep_fn(mesh, PARAMS)
+    mask = jnp.ones((B, N), jnp.float32)
+    res = sweep(P_all, Q_all, mask)
+    ref = register_batch(P_all, Q_all, PARAMS)
+    _check_equal(res, ref, T_gt)
+
+
+def test_sweep_runs_bench_kernel_config(eight_devices, batch):
+    """The sharded sweep must run the exact kernel configuration the bench
+    measures (all four Pallas impls + ring compat) — VERDICT r2 weak #4."""
+    import dataclasses
+
+    P_all, Q_all, T_gt = batch
+    mesh = make_mesh(pairs=2, corr=2, hyp=2)
+    ring_params = dataclasses.replace(PARAMS, ring_compat=True)
+    sweep = make_sweep_fn(
+        mesh, ring_params,
+        compat_impl="pallas", score_impl="pallas",
+        pool_impl="pallas", solve_impl="pallas",
+    )
+    mask = jnp.ones((B, N), jnp.float32)
+    res = sweep(P_all, Q_all, mask)
+    ref = register_batch(P_all, Q_all, PARAMS)
+    _check_equal(res, ref, T_gt)

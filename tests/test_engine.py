@@ -7,6 +7,8 @@ f32), triangle score multisets, SVD transforms, inlier counts, and the final
 registration.
 """
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -216,3 +218,48 @@ def test_triangle_pool_dedup_key_packings_agree(prob, monkeypatch):
     for other in (two, three):
         np.testing.assert_array_equal(np.asarray(ref.triples), np.asarray(other.triples))
         np.testing.assert_allclose(np.asarray(ref.scores), np.asarray(other.scores), atol=1e-6)
+
+
+@pytest.mark.parametrize("outlier", [0.9, 0.95])
+def test_fast_config_recall_neutral(outlier):
+    """bench.py's fast config (dedup off + approx top-k) must match the
+    exact config's recall at the hard ablation operating points, not just
+    the 80%-outlier headline point (ADVICE r2)."""
+    N2, B = 512, 6
+    base = SacCotParams(
+        compat_tau=0.03,
+        min_separation=0.05,
+        inlier_tau=0.03,
+        num_anchors=128,
+        neighbors_per_anchor=16,
+        max_hypotheses=512,
+        degree_block_rows=128,
+        score_block_k=128,
+    )
+    fast = dataclasses.replace(base, dedup_triangles=False, approx_topk=True)
+    probs = [
+        correspondence_problem(seed=300 + s, n=N2, outlier_ratio=outlier, noise=0.004)
+        for s in range(B)
+    ]
+    P_all = jnp.stack([jnp.asarray(p["P"]) for p in probs])
+    Q_all = jnp.stack([jnp.asarray(p["Q"]) for p in probs])
+
+    def recall(params):
+        res = register_batch(P_all, Q_all, params)
+        T_all = np.asarray(res.T, np.float64)
+        ok = 0
+        for b, p in enumerate(probs):
+            E = T_all[b] @ np.linalg.inv(p["T_gt"])
+            if (
+                se3np.rotation_angle_deg(E[:3, :3]) < 5.0
+                and np.linalg.norm(E[:3, 3]) < 0.05
+            ):
+                ok += 1
+        return ok / B
+
+    r_exact = recall(base)
+    r_fast = recall(fast)
+    assert r_exact >= 5 / 6, f"exact config recall {r_exact} at outlier={outlier}"
+    assert r_fast >= r_exact, (
+        f"fast config lost recall at outlier={outlier}: {r_fast} < {r_exact}"
+    )

@@ -1,0 +1,31 @@
+"""Real multi-process process-group validation (VERDICT r2 next #6).
+
+Launches scripts/multiprocess_dryrun.py: 2 OS processes x 4 faked CPU
+devices join a jax.distributed coordinator on localhost and run the DP x SP
+sweep + distributed BA across the process boundary — the only coverage of
+dist/mesh.init_distributed actually initializing a process group.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "scripts", "multiprocess_dryrun.py")
+
+
+def test_multiprocess_dryrun():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device-count flag
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run(
+        [sys.executable, SCRIPT],
+        capture_output=True, text=True, timeout=540, env=env,
+    )
+    if out.returncode != 0 and "UNAVAILABLE" in out.stderr:
+        pytest.skip(f"distributed coordinator unavailable: {out.stderr[-200:]}")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "all workers exited cleanly" in out.stdout
+    assert "DPxSP sweep across the process boundary ok" in out.stdout

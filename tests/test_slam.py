@@ -218,3 +218,125 @@ def test_sequence_slam_end_to_end():
     err = ate(np.asarray(res.poses, np.float64), seq["poses_gt"])
     err_odo = ate(np.asarray(res.pose_graph_result.poses, np.float64), seq["poses_gt"])
     assert err["rmse"] < 0.05, (err, err_odo)
+
+
+# -------------------------------------------------- robust loss + information
+def _plant_false_loop(graph, i, j, rng, weight=200.0):
+    """Append a confidently-wrong loop closure (random transform, huge
+    weight — the self-similar-structure failure mode)."""
+    Z_bad = rand_pose(rng, angle=1.2, trans=1.5)
+    return PoseGraph(
+        poses=graph.poses,
+        edge_i=jnp.concatenate([graph.edge_i, jnp.asarray([i], jnp.int32)]),
+        edge_j=jnp.concatenate([graph.edge_j, jnp.asarray([j], jnp.int32)]),
+        meas=jnp.concatenate([graph.meas, jnp.asarray(Z_bad)[None]]),
+        weight=jnp.concatenate([graph.weight, jnp.asarray([weight], jnp.float32)]),
+    )
+
+
+def test_false_loop_closure_robust_tls():
+    """One planted false loop closure (high weight, wrong transform) must
+    leave the robust solve's ATE within 2x of the clean run (VERDICT r2
+    next #7). TLS (the hard-redescending switchable gate) is the loss that
+    achieves it: from the odometry init the wrong edge's whitened residual
+    blows past the gate and contributes zero gradient thereafter."""
+    rng = np.random.default_rng(7)
+    graph, gt = _make_pg_problem(seed=3, M=12)
+    res_clean = optimize_pose_graph(graph, iters=20, robust="tls", delta=1.0)
+    ate_clean = ate_rmse(np.asarray(res_clean.poses, np.float64), gt)
+
+    bad = _plant_false_loop(graph, 2, 9, rng, weight=200.0)
+    res_bad = optimize_pose_graph(bad, iters=20, robust="tls", delta=1.0)
+    ate_bad = ate_rmse(np.asarray(res_bad.poses, np.float64), gt)
+    assert ate_bad < max(2.0 * ate_clean, 0.02), (ate_bad, ate_clean)
+
+    # The non-robust solve on the same graph must be visibly corrupted —
+    # otherwise this test would not be exercising the robustifier.
+    res_plain = optimize_pose_graph(bad, iters=20)
+    ate_plain = ate_rmse(np.asarray(res_plain.poses, np.float64), gt)
+    assert ate_plain > 2.0 * ate_bad, (ate_plain, ate_bad)
+
+    # DCS (soft-redescending) visibly tempers the corruption even where its
+    # IRLS basin doesn't fully reject the edge; Huber at least never makes
+    # it worse than the plain solve.
+    res_dcs = optimize_pose_graph(bad, iters=20, robust="dcs", delta=1.0)
+    ate_dcs = ate_rmse(np.asarray(res_dcs.poses, np.float64), gt)
+    assert ate_dcs < 0.5 * ate_plain, (ate_dcs, ate_plain)
+    res_hub = optimize_pose_graph(bad, iters=20, robust="huber", delta=1.0)
+    ate_hub = ate_rmse(np.asarray(res_hub.poses, np.float64), gt)
+    assert ate_hub <= ate_plain + 1e-6, (ate_hub, ate_plain)
+
+
+def test_edge_information_from_inlier_statistics():
+    """edge_information: SPD, scales with inlier count, shrinks with noise
+    (slam/frontend.py; VERDICT r2 missing #4)."""
+    from saccot_tpu.engine.sac_cot import register_batch
+    from saccot_tpu.io.synthetic import correspondence_problem
+    from saccot_tpu.slam.frontend import edge_information
+    from saccot_tpu.utils.params import SacCotParams
+
+    params = SacCotParams(
+        compat_tau=0.03, min_separation=0.05, inlier_tau=0.03,
+        num_anchors=48, neighbors_per_anchor=10, max_hypotheses=256,
+    )
+    probs = [
+        correspondence_problem(seed=60, n=128, outlier_ratio=0.3, noise=0.002),
+        correspondence_problem(seed=61, n=128, outlier_ratio=0.3, noise=0.008),
+        correspondence_problem(seed=62, n=128, outlier_ratio=0.8, noise=0.002),
+    ]
+    P_all = jnp.stack([jnp.asarray(p["P"]) for p in probs])
+    Q_all = jnp.stack([jnp.asarray(p["Q"]) for p in probs])
+    reg = register_batch(P_all, Q_all, params)
+    info = np.asarray(edge_information(reg, P_all, Q_all), np.float64)
+
+    assert info.shape == (3, 6, 6)
+    for e in range(3):
+        np.testing.assert_allclose(info[e], info[e].T, atol=1e-3)
+        ev = np.linalg.eigvalsh(info[e])
+        assert ev.min() > 0, (e, ev)
+    # More noise at the same inlier rate -> strictly less information.
+    assert np.trace(info[1]) < 0.25 * np.trace(info[0])
+    # Fewer inliers -> less information.
+    assert np.trace(info[2]) < np.trace(info[0])
+
+
+def test_info_graph_converges():
+    """Full-information pose graph (registrations_to_graph with points)
+    still converges and beats odometry."""
+    from saccot_tpu.io.synthetic import slam_sequence
+    from saccot_tpu.engine.sac_cot import register_batch
+    from saccot_tpu.slam.frontend import registrations_to_graph
+    from saccot_tpu.utils.params import SacCotParams
+
+    seq = slam_sequence(seed=13, n_scans=6, n_corr=192, outlier_ratio=0.4,
+                        noise=0.003, loop_every=3)
+    params = SacCotParams(
+        compat_tau=0.03, min_separation=0.08, inlier_tau=0.03,
+        num_anchors=64, neighbors_per_anchor=10, max_hypotheses=256,
+    )
+    reg = register_batch(jnp.asarray(seq["edge_P"]), jnp.asarray(seq["edge_Q"]), params)
+    graph = registrations_to_graph(
+        6, jnp.asarray(seq["edges"]), reg,
+        edge_P=seq["edge_P"], edge_Q=seq["edge_Q"],
+    )
+    assert graph.info is not None and graph.info.shape[-2:] == (6, 6)
+    res = optimize_pose_graph(graph, iters=8, robust="huber", delta=3.0)
+    ate_opt = ate_rmse(np.asarray(res.poses, np.float64), seq["poses_gt"])
+    ate_init = ate_rmse(np.asarray(graph.poses, np.float64), seq["poses_gt"])
+    assert ate_opt <= ate_init + 1e-6
+    assert ate_opt < 0.05
+
+
+def test_propose_loop_candidates():
+    from saccot_tpu.slam.frontend import propose_loop_candidates
+
+    # Square loop returning near the origin.
+    M = 9
+    ang = np.linspace(0, 2 * np.pi, M)
+    poses = np.tile(np.eye(4), (M, 1, 1))
+    poses[:, 0, 3] = np.cos(ang) * 2.0
+    poses[:, 1, 3] = np.sin(ang) * 2.0  # pose 8 == pose 0 position
+    cand = propose_loop_candidates(poses, min_gap=3, radius=0.5)
+    assert len(cand) >= 1
+    assert [0, M - 1] in cand.tolist()
+    assert all(j - i >= 3 for i, j in cand)
