@@ -280,6 +280,10 @@ def register_pair_tp(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "compat_impl", "score_impl", "pool_impl", "solve_impl"),
+)
 def register_batch(
     P: jnp.ndarray,
     Q: jnp.ndarray,
@@ -293,7 +297,10 @@ def register_batch(
     """vmap of `register_pair` over a leading batch axis of scan pairs.
 
     P, Q: [B, N, 3]; mask: optional [B, N]. This is the unit the data-parallel
-    sweep shards over devices (SURVEY.md section 2.2, DP row).
+    sweep shards over devices (SURVEY.md section 2.2, DP row). Jitted at the
+    API boundary: the eager op-by-op vmap dispatch is pathologically slow on
+    every backend, and one trace per (shape, params) is the semantics every
+    caller wants anyway.
     """
     fn = lambda p, q, mk: _register_pair(
         p, q, mk, params, compat_impl, score_impl,

@@ -113,12 +113,23 @@ def triangle_pool_from_points(
         from saccot_tpu.kernels.triangles import MAX_N_FUSED, anchor_neighbors_pallas
 
         if N <= MAX_N_FUSED:
-            nbr_s, nbr_idx = anchor_neighbors_pallas(
+            # Fully fused: the kernel emits the candidate triangle scores
+            # directly (selected-neighbor coords never leave the chip), so
+            # only the canonicalize/dedup/top-K ranking runs in XLA.
+            nbr_s, nbr_idx, cand = anchor_neighbors_pallas(
                 P, Q, anchors, B, params.compat_tau, params.min_separation,
                 mask=mask,
                 anchor_mask=None if mask is None else mask[anchors],
+                emit_candidates=True,
             )
-            return _pool_from_neighbors(anchors, nbr_s, nbr_idx, P, Q, params)
+            b1, b2 = np.triu_indices(B, k=1)
+            b1 = jnp.asarray(b1, dtype=jnp.int32)
+            b2 = jnp.asarray(b2, dtype=jnp.int32)
+            A_ = anchors.shape[0]
+            i = jnp.broadcast_to(anchors[:, None], (A_, b1.shape[0]))
+            j = nbr_idx[:, b1]
+            k = nbr_idx[:, b2]
+            return _rank_candidates(i, j, k, cand, params, n_nodes=N)
         # Beyond the fused-column VMEM budget the stage is HBM-bound on the
         # [A, N] rows either way; fall through to the blockwise XLA path.
     rows = compat_mod.score_block(
@@ -209,71 +220,98 @@ def _pool_from_neighbors(
     score = s_ij + s_ik + s_jk
     valid = (s_ij > 0) & (s_ik > 0) & (s_jk > 0) & (i != j) & (i != k) & (j != k)
     score = jnp.where(valid, score, -1.0)
+    return _rank_candidates(i, j, k, score, params, n_nodes=n_nodes)
+
+
+def _rank_candidates(
+    i: jnp.ndarray,       # [A, Pairs] anchor node ids
+    j: jnp.ndarray,       # [A, Pairs] neighbor-1 node ids
+    k: jnp.ndarray,       # [A, Pairs] neighbor-2 node ids
+    score: jnp.ndarray,   # [A, Pairs] candidate scores, -1 = invalid
+    params: SacCotParams,
+    n_nodes: Optional[int],
+) -> TrianglePool:
+    """Canonicalize -> (optional dedup) -> global top-K of a candidate set."""
+    K = params.max_hypotheses
+    Nn = n_nodes
+    score = score.reshape(-1)
+
+    if not params.dedup_triangles:
+        # No dedup -> no need for the canonical i<j<k triple: the 3-point
+        # solve and scoring are permutation-invariant, and the [C, 3]
+        # stack+sort relayout is pure overhead on TPU. Keep (anchor, j, k)
+        # order as-is.
+        ss = score
+        tri_cols = (
+            i.reshape(-1).astype(jnp.int32),
+            j.reshape(-1).astype(jnp.int32),
+            k.reshape(-1).astype(jnp.int32),
+        )
+        return _select_topk(tri_cols, ss, params)
 
     # Canonicalize and flatten the candidate pool.
     tri = jnp.sort(
         jnp.stack([i, j, k], axis=-1).reshape(-1, 3).astype(jnp.int32), axis=-1
     )  # [C, 3] with i<j<k
-    score = score.reshape(-1)
 
-    if params.dedup_triangles:
-        # Score prefilter before the (expensive) lexicographic sort: a
-        # triangle {a,b,c} enters the candidate list at most 3 times (once
-        # per anchor in it, each anchor contributing each unordered
-        # neighbor pair once), and all copies carry an identical score —
-        # edge scores are symmetric functions of the points. So every
-        # member of the deduped top-K is guaranteed to appear within the
-        # top-3K raw candidates, and deduping only those is exact. This
-        # cuts the dominant sort from C = A*B*(B-1)/2 elements to 3K.
-        pre = min(3 * K, score.shape[0])
-        if pre < score.shape[0]:
-            score, keep = lax.top_k(score, pre)
-            tri = tri[keep]
-        # Lexicographic de-dup: sort by (i, j, k), invalidate non-first
-        # copies. All copies of one triangle carry the same score, so
-        # keeping the first is exact. Sort cost scales with the operand
-        # count, so the canonical triple is packed into as few int32 keys
-        # as the node-index range allows (sort of packed keys orders
-        # identically to the 3-key lexicographic sort): one key when
-        # Nn^3 < 2^31, two when Nn^2 + Nn < 2^31, else the plain 3 keys.
-        # Both packings are exact bijections, decoded after the sort.
-        Nn = n_nodes
-        if Nn is not None and Nn <= _PACK1_MAX_NODES:
-            key = (tri[:, 0] * Nn + tri[:, 1]) * Nn + tri[:, 2]
-            key, ss = lax.sort((key, score), num_keys=1)
-            dup = jnp.concatenate(
-                [jnp.zeros((1,), dtype=bool), key[1:] == key[:-1]]
-            )
-            ss = jnp.where(dup, -1.0, ss)
-            rem = key % (Nn * Nn)
-            tri_cols = (key // (Nn * Nn), rem // Nn, rem % Nn)
-        elif Nn is not None and Nn <= _PACK2_MAX_NODES:
-            kjk = tri[:, 1] * Nn + tri[:, 2]
-            si, kjk, ss = lax.sort((tri[:, 0], kjk, score), num_keys=2)
-            dup = jnp.concatenate(
-                [
-                    jnp.zeros((1,), dtype=bool),
-                    (si[1:] == si[:-1]) & (kjk[1:] == kjk[:-1]),
-                ]
-            )
-            ss = jnp.where(dup, -1.0, ss)
-            tri_cols = (si, kjk // Nn, kjk % Nn)
-        else:
-            si, sj, sk, ss = lax.sort(
-                (tri[:, 0], tri[:, 1], tri[:, 2], score), num_keys=3
-            )
-            dup = jnp.concatenate(
-                [
-                    jnp.zeros((1,), dtype=bool),
-                    (si[1:] == si[:-1]) & (sj[1:] == sj[:-1]) & (sk[1:] == sk[:-1]),
-                ]
-            )
-            ss = jnp.where(dup, -1.0, ss)
-            tri_cols = (si, sj, sk)
+    # Score prefilter before the (expensive) lexicographic sort: a
+    # triangle {a,b,c} enters the candidate list at most 3 times (once
+    # per anchor in it, each anchor contributing each unordered
+    # neighbor pair once), and all copies carry an identical score —
+    # edge scores are symmetric functions of the points. So every
+    # member of the deduped top-K is guaranteed to appear within the
+    # top-3K raw candidates, and deduping only those is exact. This
+    # cuts the dominant sort from C = A*B*(B-1)/2 elements to 3K.
+    pre = min(3 * K, score.shape[0])
+    if pre < score.shape[0]:
+        score, keep = lax.top_k(score, pre)
+        tri = tri[keep]
+    # Lexicographic de-dup: sort by (i, j, k), invalidate non-first
+    # copies. All copies of one triangle carry the same score, so
+    # keeping the first is exact. Sort cost scales with the operand
+    # count, so the canonical triple is packed into as few int32 keys
+    # as the node-index range allows (sort of packed keys orders
+    # identically to the 3-key lexicographic sort): one key when
+    # Nn^3 < 2^31, two when Nn^2 + Nn < 2^31, else the plain 3 keys.
+    # Both packings are exact bijections, decoded after the sort.
+    Nn = n_nodes
+    if Nn is not None and Nn <= _PACK1_MAX_NODES:
+        key = (tri[:, 0] * Nn + tri[:, 1]) * Nn + tri[:, 2]
+        key, ss = lax.sort((key, score), num_keys=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((1,), dtype=bool), key[1:] == key[:-1]]
+        )
+        ss = jnp.where(dup, -1.0, ss)
+        rem = key % (Nn * Nn)
+        tri_cols = (key // (Nn * Nn), rem // Nn, rem % Nn)
+    elif Nn is not None and Nn <= _PACK2_MAX_NODES:
+        kjk = tri[:, 1] * Nn + tri[:, 2]
+        si, kjk, ss = lax.sort((tri[:, 0], kjk, score), num_keys=2)
+        dup = jnp.concatenate(
+            [
+                jnp.zeros((1,), dtype=bool),
+                (si[1:] == si[:-1]) & (kjk[1:] == kjk[:-1]),
+            ]
+        )
+        ss = jnp.where(dup, -1.0, ss)
+        tri_cols = (si, kjk // Nn, kjk % Nn)
     else:
-        ss = score
-        tri_cols = (tri[:, 0], tri[:, 1], tri[:, 2])
+        si, sj, sk, ss = lax.sort(
+            (tri[:, 0], tri[:, 1], tri[:, 2], score), num_keys=3
+        )
+        dup = jnp.concatenate(
+            [
+                jnp.zeros((1,), dtype=bool),
+                (si[1:] == si[:-1]) & (sj[1:] == sj[:-1]) & (sk[1:] == sk[:-1]),
+            ]
+        )
+        ss = jnp.where(dup, -1.0, ss)
+        tri_cols = (si, sj, sk)
+    return _select_topk(tri_cols, ss, params)
 
+
+def _select_topk(tri_cols, ss, params: SacCotParams) -> TrianglePool:
+    K = params.max_hypotheses
     k_sel = min(K, ss.shape[0])
     if params.approx_topk:
         top_s, top_i = lax.approx_max_k(ss, k_sel)

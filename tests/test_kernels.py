@@ -165,3 +165,47 @@ def test_register_pair_solve_pallas_matches(prob):
     E = np.asarray(got.T, np.float64) @ np.linalg.inv(np.asarray(ref.T, np.float64))
     assert se3np.rotation_angle_deg(E[:3, :3]) < 0.1
     assert int(got.num_inliers) == int(ref.num_inliers)
+
+
+def test_anchor_neighbors_pallas_candidates(prob):
+    """emit_candidates=True: in-kernel candidate triangle scores (one-hot
+    coordinate extraction + on-chip s_jk) must match the XLA formulation
+    computed from the kernel's own selections."""
+    from jax import lax
+
+    from saccot_tpu.engine import triangles as tri_mod
+    from saccot_tpu.kernels.triangles import anchor_neighbors_pallas
+
+    P, Q = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    N = P.shape[0]
+    mask = jnp.asarray((np.arange(N) < 260).astype(np.float32))
+    A, B = 64, 10
+    deg = jcompat.degrees(P, Q, P, Q, PARAMS, mask_rows=mask, mask_cols=mask)
+    _, anchors = lax.top_k(deg, A)
+
+    nbr_s, nbr_idx, cand = anchor_neighbors_pallas(
+        P, Q, anchors, B, PARAMS.compat_tau, PARAMS.min_separation,
+        mask=mask, anchor_mask=mask[anchors], emit_candidates=True,
+    )
+    assert cand.shape == (A, B * (B - 1) // 2)
+
+    b1, b2 = np.triu_indices(B, k=1)
+    j = nbr_idx[:, b1]
+    k = nbr_idx[:, b2]
+    s_jk = tri_mod.pair_scores(
+        P[nbr_idx][:, b1, :], P[nbr_idx][:, b2, :],
+        Q[nbr_idx][:, b1, :], Q[nbr_idx][:, b2, :], PARAMS,
+    )
+    s_jk = jnp.where(j != k, s_jk, 0.0)
+    s_b1 = nbr_s[:, b1]
+    s_b2 = nbr_s[:, b2]
+    score = s_b1 + s_b2 + s_jk
+    valid = (s_b1 > 0) & (s_b2 > 0) & (s_jk > 0)
+    ref = np.asarray(jnp.where(valid, score, -1.0))
+    got = np.asarray(cand)
+    # Same direct-differencing distance form on both sides; only ulp-level
+    # threshold flips (score within ~1e-4 of an edge) may differ.
+    edge = np.abs(ref - got) > 1e-3
+    frac_flipped = edge.mean()
+    assert frac_flipped < 0.01, frac_flipped
+    np.testing.assert_allclose(got[~edge], ref[~edge], rtol=1e-4, atol=2e-4)
