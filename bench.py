@@ -49,7 +49,7 @@ def main():
     from saccot_tpu.utils.params import SacCotParams
 
     N = 1000
-    BATCH = 32  # measured throughput peak on v5e (scripts/bench_sweep.py)
+    BATCH = 64  # measured throughput peak on v5e (r3: B=64 > B=32/96)
     OUTLIER = 0.8
     params = SacCotParams(
         compat_tau=0.03,
@@ -60,11 +60,16 @@ def main():
         max_hypotheses=1024,
         degree_block_rows=256,
         score_block_k=256,
-        # Perf variants, both recall-neutral here (recall checked below):
-        # duplicate triangles keep the argmax landscape (engine/triangles.py),
-        # approx_max_k trades ~5% of top-K ranking for a faster reduction.
+        # Perf variants, all recall-neutral (checked below at this point and
+        # at 0.9/0.95 outliers in tests/test_engine.py):
+        # - duplicate triangles keep the argmax landscape (engine/triangles.py)
+        # - approx_max_k trades ~5% of top-K ranking for a faster reduction
+        # - per_anchor_candidates=4: the pool kernel pre-ranks each anchor's
+        #   top-4 triangles on-chip; with A*T == K the global selection is
+        #   the identity and disappears entirely.
         dedup_triangles=False,
         approx_topk=True,
+        per_anchor_candidates=4,
     )
     log(f"devices: {jax.devices()}")
 
@@ -149,7 +154,9 @@ def main():
     # config change (ADVICE r2). Recall-neutrality of the fast variants is
     # separately verified at 0.9/0.95 outlier rates in
     # tests/test_engine.py::test_fast_config_recall_neutral.
-    exact_params = dataclasses.replace(params, dedup_triangles=True, approx_topk=False)
+    exact_params = dataclasses.replace(
+        params, dedup_triangles=True, approx_topk=False, per_anchor_candidates=0
+    )
     fn_exact = jax.jit(
         lambda a, b: register_batch(
             a, b, exact_params,

@@ -113,6 +113,19 @@ def triangle_pool_from_points(
         from saccot_tpu.kernels.triangles import MAX_N_FUSED, anchor_neighbors_pallas
 
         if N <= MAX_N_FUSED:
+            if params.per_anchor_candidates > 0:
+                # Fastest path: the kernel pre-reduces each anchor to its
+                # top-T candidates on-chip; XLA only runs the A*T -> K
+                # selection and K-element index gathers.
+                nbr_s, nbr_idx, cand_s, cand_slot = anchor_neighbors_pallas(
+                    P, Q, anchors, B, params.compat_tau, params.min_separation,
+                    mask=mask,
+                    anchor_mask=None if mask is None else mask[anchors],
+                    top_t=min(params.per_anchor_candidates, B * (B - 1) // 2),
+                )
+                return _pool_from_preranked(
+                    anchors, nbr_idx, cand_s, cand_slot, params
+                )
             # Fully fused: the kernel emits the candidate triangle scores
             # directly (selected-neighbor coords never leave the chip), so
             # only the canonicalize/dedup/top-K ranking runs in XLA.
@@ -308,6 +321,48 @@ def _rank_candidates(
         ss = jnp.where(dup, -1.0, ss)
         tri_cols = (si, sj, sk)
     return _select_topk(tri_cols, ss, params)
+
+
+def _pool_from_preranked(
+    anchors: jnp.ndarray,    # [A] anchor node ids
+    nbr_idx: jnp.ndarray,    # [A, B] per-anchor neighbor node ids
+    cand_s: jnp.ndarray,     # [A, T] per-anchor top-T candidate scores
+    cand_slot: jnp.ndarray,  # [A, T] int32 flat b1*B+b2 pair slots
+    params: SacCotParams,
+) -> TrianglePool:
+    """Global top-K over kernel-preranked per-anchor candidates."""
+    A, T = cand_s.shape
+    B = nbr_idx.shape[1]
+    K = params.max_hypotheses
+    flat_s = cand_s.reshape(-1)
+    k_sel = min(K, flat_s.shape[0])
+    if k_sel == flat_s.shape[0]:
+        # A*T <= K: every preranked candidate enters the pool — selection
+        # is the identity and the (expensive) top-k + index gathers vanish.
+        # Downstream only argmaxes over hypothesis scores, so order is
+        # irrelevant.
+        top_s = flat_s
+        a = jnp.arange(A * T, dtype=jnp.int32) // T
+        slot = cand_slot.reshape(-1)
+    elif params.approx_topk:
+        top_s, top_i = lax.approx_max_k(flat_s, k_sel)
+        a = (top_i // T).astype(jnp.int32)
+        slot = cand_slot.reshape(-1)[top_i]
+    else:
+        top_s, top_i = lax.top_k(flat_s, k_sel)
+        a = (top_i // T).astype(jnp.int32)
+        slot = cand_slot.reshape(-1)[top_i]
+    b1 = slot // B
+    b2 = slot % B
+    i = anchors[a]
+    j = nbr_idx[a, b1]
+    k = nbr_idx[a, b2]
+    triples = jnp.stack([i, j, k], axis=-1).astype(jnp.int32)
+    if top_s.shape[0] < K:  # pad to the static budget
+        pad = K - top_s.shape[0]
+        triples = jnp.concatenate([triples, jnp.zeros((pad, 3), jnp.int32)], axis=0)
+        top_s = jnp.concatenate([top_s, jnp.full((pad,), -1.0, top_s.dtype)], axis=0)
+    return TrianglePool(triples=triples, scores=top_s, valid=top_s > 0)
 
 
 def _select_topk(tri_cols, ss, params: SacCotParams) -> TrianglePool:

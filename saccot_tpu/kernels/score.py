@@ -37,6 +37,7 @@ def _score_kernel(
     out_ref,  # VMEM [2, TK]: row 0 = counts, row 1 = weights
     *,
     tau: float,
+    need_weights: bool,
 ):
     j = pl.program_id(1)
 
@@ -45,6 +46,10 @@ def _score_kernel(
         out_ref[:] = jnp.zeros_like(out_ref)
 
     m = m_ref[0, :][None, :]  # [1, TN]
+    # NOTE: an MXU formulation of the rotation application ([3,TK]x[3,TN]
+    # dot_generals) was measured ~13% SLOWER end-to-end — contraction depth
+    # 3 wastes the systolic array and HIGHEST precision multiplies passes.
+    # Broadcast FMAs on the VPU are the right shape for this stage.
     d2 = None
     for c in range(3):
         # x'_c = R[c,0] px + R[c,1] py + R[c,2] pz + t_c - q_c, all [TK, TN]
@@ -54,10 +59,13 @@ def _score_kernel(
         d2 = acc * acc if d2 is None else d2 + acc * acc
 
     inl = jnp.where((d2 < tau * tau), 1.0, 0.0) * m
-    d = jnp.sqrt(d2)
-    wgt = jnp.maximum(0.0, 1.0 - d * (1.0 / tau)) * m
     out_ref[0, :] += jnp.sum(inl, axis=1)
-    out_ref[1, :] += jnp.sum(wgt, axis=1)
+    if need_weights:
+        # Soft MSAC weights need the sqrt; skipped entirely in count mode
+        # (row 1 is zero-initialized at j == 0 and left untouched).
+        d = jnp.sqrt(d2)
+        wgt = jnp.maximum(0.0, 1.0 - d * (1.0 / tau)) * m
+        out_ref[1, :] += jnp.sum(wgt, axis=1)
 
 
 def score_hypotheses_pallas(
@@ -99,7 +107,9 @@ def score_hypotheses_pallas(
 
     grid = (Kp // tk, Np // tn)
     out = pl.pallas_call(
-        functools.partial(_score_kernel, tau=float(tau)),
+        functools.partial(
+            _score_kernel, tau=float(tau), need_weights=(mode == "weighted")
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((9, tk), lambda i, j: (0, i), memory_space=pltpu.VMEM),

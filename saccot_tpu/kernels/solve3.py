@@ -44,10 +44,11 @@ TILE_K = 256
 MAX_N_SOLVE = 2048  # one-hot tile = MAX_N_SOLVE * 3*TILE_K * 4 B = 6 MB VMEM
 
 
-def _solve_kernel(p_ref, q_ref, tri_ref, r_ref, t_ref):
+def _solve_kernel(p_ref, q_ref, tri_ref, h_ref, pb_ref, qb_ref):
     # p_ref/q_ref: [3, Np] coordinate-major points (full, replicated per step)
     # tri_ref:     [3, TK] int32 triple indices for this tile
-    # r_ref:       [9, TK] rotation entries out; t_ref: [3, TK] translations out
+    # h_ref:       [9, TK] cross-covariance entries out (row-major)
+    # pb_ref/qb_ref: [3, TK] centroids out
     Np = p_ref.shape[1]
     TK = tri_ref.shape[1]
     idx = tri_ref[:]                                   # [3, TK]
@@ -80,20 +81,17 @@ def _solve_kernel(p_ref, q_ref, tri_ref, r_ref, t_ref):
             + pc[2][a:a + 1, :] * qc[2][b:b + 1, :]
         )
 
-    q = quaternion_from_cross_covariance(
-        cov(0, 0), cov(0, 1), cov(0, 2),
-        cov(1, 0), cov(1, 1), cov(1, 2),
-        cov(2, 0), cov(2, 1), cov(2, 2),
-    )
-    r = rotation_entries_from_quaternion(*q)           # 9 x (1, TK)
-    r_ref[:] = jnp.concatenate(r, axis=0)              # [9, TK]
-    # t = qbar - R pbar, row by row.
-    t_rows = [
-        qbar[c:c + 1, :]
-        - (r[3 * c] * pbar[0:1, :] + r[3 * c + 1] * pbar[1:2, :] + r[3 * c + 2] * pbar[2:3, :])
-        for c in range(3)
-    ]
-    t_ref[:] = jnp.concatenate(t_rows, axis=0)         # [3, TK]
+    # The quaternion power iteration is NOT run here: in-kernel it operates
+    # on [1, TK] single-sublane rows at 1/8 VPU utilization, while XLA runs
+    # the identical SoA code over the whole [batch, K] field on full (8,128)
+    # tiles. The kernel's job is the part XLA does badly — the fused
+    # scattered gather — plus the 9-entry cross-covariance reduction that
+    # shrinks the output from 18 gathered coordinates to 15 values.
+    h_ref[:] = jnp.concatenate(
+        [cov(a, b) for a in range(3) for b in range(3)], axis=0
+    )                                                  # [9, TK]
+    pb_ref[:] = pbar
+    qb_ref[:] = qbar
 
 
 def solve3_pallas(
@@ -123,7 +121,7 @@ def solve3_pallas(
     triT = jnp.pad(triples.astype(jnp.int32).T, ((0, 0), (0, Kp - K)))
 
     grid = (Kp // tk,)
-    r9, t3 = pl.pallas_call(
+    h9, pb3, qb3 = pl.pallas_call(
         _solve_kernel,
         grid=grid,
         in_specs=[
@@ -134,19 +132,28 @@ def solve3_pallas(
         out_specs=(
             pl.BlockSpec((9, tk), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tk), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((9, Kp), jnp.float32),
             jax.ShapeDtypeStruct((3, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((3, Kp), jnp.float32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * 3 * Np * 3 * Kp + 400 * Kp,
-            bytes_accessed=(6 * Np + 15 * Kp) * 4,
+            flops=2 * 2 * 3 * Np * 3 * Kp + 60 * Kp,
+            bytes_accessed=(6 * Np + 18 * Kp) * 4,
             transcendentals=0,
         ),
     )(pT, qT, triT)
 
-    R = r9[:, :K].T.reshape(K, 3, 3)
-    t = t3[:, :K].T
+    # Quaternion iteration + rotation assembly in XLA: the [K]-lane SoA
+    # arrays land on full (8, 128) VPU tiles (and batch via vmap for free),
+    # unlike the kernel's [1, TK] rows.
+    qv = quaternion_from_cross_covariance(*(h9[c, :K] for c in range(9)))
+    r = rotation_entries_from_quaternion(*qv)          # 9 x [K]
+    R = jnp.stack(r, axis=0).T.reshape(K, 3, 3)
+    pbar = pb3[:, :K].T                                # [K, 3]
+    qbar = qb3[:, :K].T
+    t = qbar - jnp.einsum("kij,kj->ki", R, pbar)
     return R, t

@@ -48,13 +48,15 @@ def _anchor_topb_kernel(
     mc_ref,    # VMEM [1, NP] column mask (0 beyond N and for invalid corrs)
     s_out,     # VMEM [B, TA] neighbor scores, descending per anchor
     i_out,     # VMEM [B, TA] neighbor column indices
-    cand_out,  # VMEM [PAIRSp, TA] candidate triangle scores (or None)
+    cand_out,  # VMEM [PAIRSp|Tp, TA] candidate scores (or None)
+    slot_out,  # VMEM [Tp, TA] int32 flat b1*B+b2 pair slots (top_t>0 only)
     *,
     compat_tau: float,
     min_sep: float,
     num_neighbors: int,
     n_cols: int,
     emit_candidates: bool,
+    top_t: int,
 ):
     ta = s_out.shape[1]
     np_cols = pc_ref.shape[1]
@@ -82,60 +84,101 @@ def _anchor_topb_kernel(
     S = jnp.where(col >= n_cols, -1.0, S)
 
     # Iterative branchless argmax: B sweeps of (row max, lowest-index
-    # witness, knockout). Exactly lax.top_k's ordering. When candidates are
-    # emitted, each sweep also extracts the winning neighbor's coordinates
-    # via a tiny one-hot dot_general (MXU): sel [TA, NP] is exactly one-hot
-    # per row, so pc [3, NP] x sel^T -> the selected [3, TA] columns.
-    sel_p = []  # per-sweep selected source coords [3, TA]
-    sel_q = []
+    # witness, knockout). Exactly lax.top_k's ordering.
     svals = []
+    idxs = []
     for b in range(num_neighbors):
         vmax = jnp.max(S, axis=1)  # [TA]
         hit = S == vmax[:, None]
         idx = jnp.min(jnp.where(hit, col, np_cols), axis=1).astype(jnp.int32)
         s_out[b, :] = vmax
         i_out[b, :] = idx
-        if emit_candidates:
-            sel = (col == idx[:, None]).astype(jnp.float32)  # [TA, NP] one-hot
-            dn = (((1,), (1,)), ((), ()))  # contract NP with NP
-            sel_p.append(jax.lax.dot_general(
-                pc_ref[...], sel, dn, preferred_element_type=jnp.float32))
-            sel_q.append(jax.lax.dot_general(
-                qc_ref[...], sel, dn, preferred_element_type=jnp.float32))
-            svals.append(vmax)
+        svals.append(vmax)
+        idxs.append(idx)
         S = jnp.where(col == idx[:, None], -jnp.inf, S)
 
     if not emit_candidates:
         return
 
-    # Candidate triangle scores for every unordered neighbor pair (b1 < b2):
-    # score = s_ij + s_ik + s_jk with s_jk recomputed from the selected
-    # coordinates — same rigidity formula as the rows above. All [TA]
-    # vector math; the B(B-1)/2 pairs unroll statically.
-    inv_tau = 1.0 / compat_tau
-    pair = 0
-    for b1 in range(num_neighbors):
-        for b2 in range(b1 + 1, num_neighbors):
-            dp2 = jnp.zeros((ta,), jnp.float32)
-            dq2 = jnp.zeros((ta,), jnp.float32)
-            for c in range(3):
-                dpc = sel_p[b1][c, :] - sel_p[b2][c, :]
-                dqc = sel_q[b1][c, :] - sel_q[b2][c, :]
-                dp2 += dpc * dpc
-                dq2 += dqc * dqc
-            dpn = jnp.sqrt(dp2)
-            dqn = jnp.sqrt(dq2)
-            dl = jnp.abs(dpn - dqn)
-            okjk = (dl < compat_tau) & (dpn > min_sep) & (dqn > min_sep)
-            s_jk = jnp.where(okjk, 1.0 - dl * inv_tau, 0.0)
-            score = svals[b1] + svals[b2] + s_jk
-            valid = (svals[b1] > 0) & (svals[b2] > 0) & (s_jk > 0)
-            cand_out[pair, :] = jnp.where(valid, score, -1.0)
-            pair += 1
-    # Pad rows (pair..PAIRSp) stay at whatever the init value is; mark them
-    # invalid explicitly so downstream top-K never selects them.
-    for p in range(pair, cand_out.shape[0]):
-        cand_out[p, :] = jnp.full((ta,), -1.0, jnp.float32)
+    B = num_neighbors
+    # Selected-neighbor coordinate extraction: ONE chunked one-hot
+    # contraction per cloud instead of a dot per sweep (small-matmul MXU
+    # latency dominated the per-sweep form). Chunks of `cs` sweeps keep the
+    # [NP, cs*TA] one-hot tile ~2 MB of VMEM.
+    cs = max(1, min(B, (512 + ta - 1) // ta))
+    ps_rows = []  # per-sweep [3, TA] coordinate rows
+    qs_rows = []
+    rows_ta = jax.lax.broadcasted_iota(jnp.int32, (np_cols, ta), 0)
+    for c0 in range(0, B, cs):
+        chunk = idxs[c0:c0 + cs]
+        # One-hot [NP, cs*TA], assembled along the (tile-aligned) lane axis.
+        oh = jnp.concatenate(
+            [(rows_ta == idx[None, :]).astype(jnp.float32) for idx in chunk],
+            axis=1,
+        )
+        dn = (((1,), (0,)), ((), ()))                            # [3,NP]x[NP,m]
+        pg = jax.lax.dot_general(pc_ref[...], oh, dn,
+                                 preferred_element_type=jnp.float32)
+        qg = jax.lax.dot_general(qc_ref[...], oh, dn,
+                                 preferred_element_type=jnp.float32)
+        for s in range(len(chunk)):
+            ps_rows.append(pg[:, s * ta:(s + 1) * ta])           # [3, TA]
+            qs_rows.append(qg[:, s * ta:(s + 1) * ta])
+
+    # Vectorized pairwise rigidity over the B selected neighbors: stack the
+    # per-sweep coords to [B, TA] per coordinate and broadcast to
+    # [B, B, TA] — every op runs on full sublane tiles instead of B(B-1)/2
+    # unrolled single-row instructions.
+    sv = jnp.stack(svals, axis=0)                                # [B, TA]
+    dp2 = jnp.zeros((B, B, ta), jnp.float32)
+    dq2 = jnp.zeros((B, B, ta), jnp.float32)
+    for c in range(3):
+        pc_c = jnp.stack([r[c, :] for r in ps_rows], axis=0)     # [B, TA]
+        qc_c = jnp.stack([r[c, :] for r in qs_rows], axis=0)
+        dpc = pc_c[:, None, :] - pc_c[None, :, :]                # [B, B, TA]
+        dqc = qc_c[:, None, :] - qc_c[None, :, :]
+        dp2 += dpc * dpc
+        dq2 += dqc * dqc
+    dpn = jnp.sqrt(dp2)
+    dqn = jnp.sqrt(dq2)
+    dl = jnp.abs(dpn - dqn)
+    okjk = (dl < compat_tau) & (dpn > min_sep) & (dqn > min_sep)
+    s_jk = jnp.where(okjk, 1.0 - dl * (1.0 / compat_tau), 0.0)
+    score3 = sv[:, None, :] + sv[None, :, :] + s_jk              # [B, B, TA]
+    valid3 = (sv[:, None, :] > 0) & (sv[None, :, :] > 0) & (s_jk > 0)
+    # Keep only the upper triangle b1 < b2 (unordered pairs, no self-pairs).
+    r1 = jax.lax.broadcasted_iota(jnp.int32, (B, B, ta), 0)
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (B, B, ta), 1)
+    valid3 &= r1 < r2
+    cand3 = jnp.where(valid3, score3, -1.0)                      # [B, B, TA]
+
+    if top_t == 0:
+        # Emit the B(B-1)/2 candidate rows in np.triu_indices order.
+        pair = 0
+        for b1 in range(B):
+            for b2 in range(b1 + 1, B):
+                cand_out[pair, :] = cand3[b1, b2, :]
+                pair += 1
+        for p in range(pair, cand_out.shape[0]):
+            cand_out[p, :] = jnp.full((ta,), -1.0, jnp.float32)
+        return
+
+    # Per-anchor top-T pre-reduction: T argmax sweeps over the [B, B]
+    # candidate grid per anchor lane; emits (score, flat b1*B+b2 slot).
+    pair_id = r1 * B + r2                                        # [B, B, TA]
+    Sc = cand3
+    for t in range(top_t):
+        vmax = jnp.max(Sc, axis=(0, 1))                          # [TA]
+        hit = Sc == vmax[None, None, :]
+        slot = jnp.min(jnp.where(hit, pair_id, B * B), axis=(0, 1)).astype(jnp.int32)
+        # Exhausted anchors yield vmax=-inf / degenerate slots; clamp to the
+        # plain invalid form (-1 score, slot 0 -> j == k, discarded anyway).
+        cand_out[t, :] = jnp.maximum(vmax, -1.0)
+        slot_out[t, :] = jnp.minimum(slot, B * B - 1)
+        Sc = jnp.where(pair_id == slot[None, None, :], -jnp.inf, Sc)
+    for t in range(top_t, cand_out.shape[0]):
+        cand_out[t, :] = jnp.full((ta,), -1.0, jnp.float32)
+        slot_out[t, :] = jnp.zeros((ta,), jnp.int32)
 
 
 def anchor_neighbors_pallas(
@@ -149,6 +192,7 @@ def anchor_neighbors_pallas(
     anchor_mask: Optional[jnp.ndarray] = None,  # [A] anchor validity
     interpret: Optional[bool] = None,
     emit_candidates: bool = False,
+    top_t: int = 0,
 ):
     """Top-B compatibility neighbors of each anchor, fused on-chip.
 
@@ -165,15 +209,24 @@ def anchor_neighbors_pallas(
     dot_generals, so the [A, B, 3] gathers and the badly-tiled [A, Pairs]
     elementwise stage never exist in XLA (profiled at ~60% of the whole
     pool stage, scripts/exp_pool_breakdown.py).
+
+    With top_t > 0 (implies emit_candidates) the kernel additionally
+    pre-reduces each anchor's candidates to its top-T on-chip and returns
+    (nbr_s, nbr_idx, cand_s [A, T], cand_slot [A, T] int32) where slot is
+    the flat b1*B + b2 pair id — shrinking the global top-K reduction input
+    by Pairs/T (~15x at the bench budgets).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if top_t:
+        emit_candidates = True
 
     N = P.shape[0]
     A = anchors.shape[0]
     B = num_neighbors
     n_pairs = B * (B - 1) // 2
     pairs_p = max(8, -(-n_pairs // 8) * 8)  # pad to the f32 sublane tile
+    tp_p = max(8, -(-top_t // 8) * 8) if top_t else 0
     ta = min(TILE_A, max(8, A))
     Ap = -(-A // ta) * ta
     Np = max(128, -(-N // 128) * 128)
@@ -215,25 +268,35 @@ def anchor_neighbors_pallas(
         jax.ShapeDtypeStruct((B, Ap), jnp.int32),
     ]
     if emit_candidates:
+        cand_rows = tp_p if top_t else pairs_p
         out_specs.append(
-            pl.BlockSpec((pairs_p, ta), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((cand_rows, ta), lambda i: (0, i), memory_space=pltpu.VMEM)
         )
-        out_shape.append(jax.ShapeDtypeStruct((pairs_p, Ap), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((cand_rows, Ap), jnp.float32))
+    if top_t:
+        out_specs.append(
+            pl.BlockSpec((tp_p, ta), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((tp_p, Ap), jnp.int32))
 
-    kernel = functools.partial(
+    base = functools.partial(
         _anchor_topb_kernel,
         compat_tau=float(compat_tau),
         min_sep=float(min_separation),
         num_neighbors=B,
         n_cols=N,
         emit_candidates=emit_candidates,
+        top_t=top_t,
     )
-    if not emit_candidates:
-        # Keep the 2-output arity when no candidate output exists.
-        base = kernel
-
-        def kernel(aid, amr, pa, qa, pc, qc, mc, s_o, i_o):  # noqa: F811
-            return base(aid, amr, pa, qa, pc, qc, mc, s_o, i_o, None)
+    # Pad the variadic output arity with Nones for the absent refs.
+    if top_t:
+        kernel = base
+    elif emit_candidates:
+        def kernel(aid, amr, pa, qa, pc, qc, mc, s_o, i_o, c_o):
+            return base(aid, amr, pa, qa, pc, qc, mc, s_o, i_o, c_o, None)
+    else:
+        def kernel(aid, amr, pa, qa, pc, qc, mc, s_o, i_o):
+            return base(aid, amr, pa, qa, pc, qc, mc, s_o, i_o, None, None)
 
     outs = pl.pallas_call(
         kernel,
@@ -265,6 +328,10 @@ def anchor_neighbors_pallas(
     # Padded-column selections carry index >= N; clamp for safe downstream
     # gathers (their score is <= 0 so the triangles are already invalid).
     nbr_idx = jnp.minimum(nbr_idx, N - 1)
+    if top_t:
+        cand_s = outs[2][:top_t, :A].T                 # [A, T]
+        cand_slot = outs[3][:top_t, :A].T              # [A, T]
+        return nbr_s, nbr_idx, cand_s, cand_slot
     if emit_candidates:
         cand = outs[2][:n_pairs, :A].T  # [A, Pairs]
         return nbr_s, nbr_idx, cand

@@ -236,7 +236,9 @@ def test_fast_config_recall_neutral(outlier):
         degree_block_rows=128,
         score_block_k=128,
     )
-    fast = dataclasses.replace(base, dedup_triangles=False, approx_topk=True)
+    fast = dataclasses.replace(
+        base, dedup_triangles=False, approx_topk=True, per_anchor_candidates=4
+    )
     probs = [
         correspondence_problem(seed=300 + s, n=N2, outlier_ratio=outlier, noise=0.004)
         for s in range(B)
@@ -245,7 +247,9 @@ def test_fast_config_recall_neutral(outlier):
     Q_all = jnp.stack([jnp.asarray(p["Q"]) for p in probs])
 
     def recall(params):
-        res = register_batch(P_all, Q_all, params)
+        # pallas pool impl so per_anchor_candidates (a pallas-only fast
+        # path) is actually exercised; interpret mode off-TPU.
+        res = register_batch(P_all, Q_all, params, pool_impl="pallas")
         T_all = np.asarray(res.T, np.float64)
         ok = 0
         for b, p in enumerate(probs):
