@@ -48,7 +48,12 @@ _PACK2_MAX_NODES = 46340
 
 
 class TrianglePool(NamedTuple):
-    triples: jnp.ndarray  # [K, 3] int32, canonical i<j<k; padded entries arbitrary
+    # [K, 3] int32 node triples. Canonical i<j<k when dedup_triangles=True;
+    # with dedup off the (anchor, nbr, nbr) order is kept as-is — the
+    # 3-point solve and scoring are permutation-invariant, and the
+    # canonicalizing sort is pure relayout cost on TPU. Padded entries
+    # arbitrary.
+    triples: jnp.ndarray
     scores: jnp.ndarray   # [K] float32, -1 for padded/invalid entries
     valid: jnp.ndarray    # [K] bool
 

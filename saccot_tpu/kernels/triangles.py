@@ -103,9 +103,10 @@ def _anchor_topb_kernel(
     B = num_neighbors
     # Selected-neighbor coordinate extraction: ONE chunked one-hot
     # contraction per cloud instead of a dot per sweep (small-matmul MXU
-    # latency dominated the per-sweep form). Chunks of `cs` sweeps keep the
-    # [NP, cs*TA] one-hot tile ~2 MB of VMEM.
-    cs = max(1, min(B, (512 + ta - 1) // ta))
+    # latency dominated the per-sweep form). Chunk size adapts to the
+    # padded column count so the [NP, cs*TA] one-hot tile stays ~2 MB of
+    # VMEM at any N up to MAX_N_FUSED (cs=4 at N=1024, cs=1 at N=4096).
+    cs = max(1, min(B, (512 * 1024 // max(np_cols, 1)) // ta))
     ps_rows = []  # per-sweep [3, TA] coordinate rows
     qs_rows = []
     rows_ta = jax.lax.broadcasted_iota(jnp.int32, (np_cols, ta), 0)

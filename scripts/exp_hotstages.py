@@ -120,6 +120,7 @@ def main():
             lambda a, b, m, _pp=pp: register_batch(
                 a, b, _pp, mask=m,
                 compat_impl="pallas", score_impl="pallas", pool_impl="pallas",
+                solve_impl="pallas",
             )
         )
         res = timed(name, fn, P, Q, mask)
