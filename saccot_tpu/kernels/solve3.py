@@ -111,9 +111,14 @@ def solve3_pallas(
     K = triples.shape[0]
     assert N <= MAX_N_SOLVE, f"solve3_pallas: N={N} exceeds {MAX_N_SOLVE}"
 
-    tk = min(TILE_K, max(128, K))
-    Kp = -(-K // tk) * tk
     Np = -(-N // 128) * 128
+    # The [Np, 3*TK] one-hot tile is the kernel's dominant VMEM allocation;
+    # cap it at ~3 MB so the scoped-VMEM budget (16 MB on v5e) holds at any
+    # N up to MAX_N_SOLVE (TK=256 at N<=1024, TK=128 at N=2048 — N=2048
+    # with TK=256 was measured to OOM at 25.3 MB scoped).
+    tk_cap = max(128, (3 * 2**20 // (12 * Np)) // 128 * 128)
+    tk = min(TILE_K, tk_cap, max(128, K))
+    Kp = -(-K // tk) * tk
 
     pT = jnp.pad(P.astype(jnp.float32).T, ((0, 0), (0, Np - N)))
     qT = jnp.pad(Q.astype(jnp.float32).T, ((0, 0), (0, Np - N)))
