@@ -27,10 +27,11 @@ from saccot_tpu.kernels.score import score_hypotheses_pallas
 from saccot_tpu.kernels.solve3 import solve3_pallas
 from saccot_tpu.utils.params import SacCotParams
 
-N, B = 1000, 32
+N, B = 1000, 64  # the bench operating point (r3)
 params = SacCotParams(compat_tau=0.03, min_separation=0.05, inlier_tau=0.03,
     num_anchors=256, neighbors_per_anchor=16, max_hypotheses=1024,
-    degree_block_rows=256, score_block_k=256, dedup_triangles=False, approx_topk=True)
+    degree_block_rows=256, score_block_k=256, dedup_triangles=False, approx_topk=True,
+    per_anchor_candidates=4)
 probs = [correspondence_problem(seed=1000+s, n=N, outlier_ratio=0.8) for s in range(B)]
 P = jnp.stack([jnp.asarray(p["P"]) for p in probs])
 Q = jnp.stack([jnp.asarray(p["Q"]) for p in probs])
