@@ -13,9 +13,12 @@ Inputs:
   - a directory of `<anything>_<index>.npz` archives (keys `xyz` [N,3],
     `desc` [N,D] — io/external.py's format; the trailing integer in the
     stem is the fragment index gt.log refers to);
-  - a 3DMatch-style `gt.log` (io/loaders.load_gt_log) whose entry (i, j)
-    holds the 4x4 ground-truth transform taking fragment i's points into
-    fragment j's frame (the same direction the estimator's T maps P -> Q).
+  - a 3DMatch-style `gt.log` (io/loaders.load_gt_log) following the
+    canonical Redwood/3DMatch convention: entry (i, j) holds
+    T = inv(pose_i) @ pose_j, the 4x4 transform taking fragment *j*'s
+    points into fragment *i*'s frame. The estimator's T maps P (source)
+    into Q's (target) frame, so each pair is registered with fragment j as
+    the source and fragment i as the target.
 
 All fragments are padded to one static keypoint bucket and every gt pair is
 matched + registered through one jitted batched program, so the whole sweep
@@ -124,16 +127,43 @@ def run_external(
     bucket = 1 << (bucket - 1).bit_length()  # next power of two
     padded = {k: _pad_fragment(f, bucket) for k, f in loaded.items()}
 
+    # Warm both jitted programs (matcher + estimator) before the timer so
+    # pairs_per_sec is steady-state, consistent with bench.py's methodology;
+    # trace+compile time is reported separately as `compile_s`.
+    n_pairs = len(pair_ids)
+    max_c = min(max_correspondences, bucket)
+    _reg_body = functools.partial(
+        register_batch,
+        params=params,
+        compat_impl=impl, score_impl=impl, pool_impl=impl, solve_impl=impl,
+    )
+    reg = jax.jit(lambda a, b, m: _reg_body(a, b, mask=m))
+    t_c0 = time.time()
+    i0, j0 = pair_ids[0]
+    xs, ds, ms = padded[j0]
+    xt, dt_, mt = padded[i0]
+    Pw, Qw, mw = _match_pair(
+        jnp.asarray(xs), jnp.asarray(ds), jnp.asarray(ms),
+        jnp.asarray(xt), jnp.asarray(dt_), jnp.asarray(mt),
+        max_c, mutual, ratio_test,
+    )
+    _ = np.asarray(reg(
+        jnp.stack([Pw] * batch), jnp.stack([Qw] * batch), jnp.stack([mw] * batch)
+    ).num_inliers)
+    compile_s = time.time() - t_c0
+
     t0 = time.time()
     # Stage 1: match every gt pair (one compiled matcher, fixed shapes).
+    # Redwood direction (module docstring): gt (i, j) maps fragment j into
+    # fragment i's frame, so fragment j is the source, fragment i the target.
     P_list, Q_list, m_list = [], [], []
     for (i, j) in pair_ids:
-        xs, ds, ms = padded[i]
-        xt, dt, mt = padded[j]
+        xs, ds, ms = padded[j]
+        xt, dt_, mt = padded[i]
         P, Q, m = _match_pair(
             jnp.asarray(xs), jnp.asarray(ds), jnp.asarray(ms),
-            jnp.asarray(xt), jnp.asarray(dt), jnp.asarray(mt),
-            min(max_correspondences, bucket), mutual, ratio_test,
+            jnp.asarray(xt), jnp.asarray(dt_), jnp.asarray(mt),
+            max_c, mutual, ratio_test,
         )
         P_list.append(P)
         Q_list.append(Q)
@@ -141,16 +171,9 @@ def run_external(
 
     # Stage 2: register in fixed-size batches (pad the tail with repeats so
     # the estimator compiles once; padded entries are simply not evaluated).
-    n_pairs = len(pair_ids)
     n_batches = -(-n_pairs // batch)
     results_T = np.zeros((n_pairs, 4, 4), np.float64)
     results_inl = np.zeros((n_pairs,), np.int64)
-    _reg_body = functools.partial(
-        register_batch,
-        params=params,
-        compat_impl=impl, score_impl=impl, pool_impl=impl, solve_impl=impl,
-    )
-    reg = jax.jit(lambda a, b, m: _reg_body(a, b, mask=m))
     for bi in range(n_batches):
         sl = [min(bi * batch + k, n_pairs - 1) for k in range(batch)]
         res = reg(
@@ -188,6 +211,7 @@ def run_external(
         recall=recall,
         mean_inliers=float(results_inl.mean()),
         pairs_per_sec=n_pairs / dt_total,
+        compile_s=compile_s,
         rot_thresh_deg=rot_thresh_deg,
         trans_thresh=trans_thresh,
         impl=impl,

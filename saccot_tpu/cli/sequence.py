@@ -202,7 +202,9 @@ def _close_loops(
     loop confirmed, stats dict).
     """
     from saccot_tpu.slam.frontend import propose_loop_candidates
-    from saccot_tpu.slam.posegraph import PoseGraph, optimize_pose_graph
+    from saccot_tpu.slam.posegraph import (
+        PoseGraph, edge_errors, optimize_pose_graph,
+    )
 
     poses_np = np.asarray(poses, np.float64)
     if loop_radius is None:
@@ -251,9 +253,25 @@ def _close_loops(
         meas=jnp.asarray(meas, jnp.float32),
         weight=jnp.asarray(w, jnp.float32),
     )
-    pgo = optimize_pose_graph(
-        graph, iters=pgo_iters, robust="tls", delta=loop_gate
+    # Two-stage robust schedule. A correct loop closure's *initial* residual
+    # equals the accumulated odometry drift, so a fixed TLS gate in these
+    # weight-whitened (mixed meter/radian, no info matrices) units would cut
+    # exactly the edge meant to correct large drift. Stage 1: Huber — its
+    # linear tail keeps a nonzero pull from every edge, so consistent loops
+    # get absorbed no matter how large the drift. Stage 2: re-gate with TLS
+    # scaled to the stage-1 residual distribution — after Huber convergence a
+    # correct loop's residual is small while a planted-false loop (inconsistent
+    # with the rest of the graph) remains an outlier and is cut entirely.
+    pgo_h = optimize_pose_graph(
+        graph, iters=pgo_iters, robust="huber", delta=loop_gate
     )
-    stats["pgo_initial_cost"] = float(pgo.initial_cost)
+    s = np.asarray(edge_errors(pgo_h.poses, graph), np.float64)
+    gate = max(float(loop_gate), 3.0 * float(np.median(np.sqrt(np.maximum(s, 0.0)))))
+    pgo = optimize_pose_graph(
+        graph._replace(poses=pgo_h.poses), iters=pgo_iters,
+        robust="tls", delta=gate,
+    )
+    stats["pgo_initial_cost"] = float(pgo_h.initial_cost)
     stats["pgo_final_cost"] = float(pgo.final_cost)
+    stats["tls_gate"] = gate
     return np.asarray(pgo.poses, np.float64), stats

@@ -59,8 +59,12 @@ def edge_information(
         H = (1/sigma^2) sum_n w_n [[I,        -hat(p_n)     ],
                                    [hat(p_n), |p_n|^2 I - p_n p_n^T]]
 
-    with sigma^2 the weighted mean squared inlier residual (floored at
-    sigma_floor^2 so near-perfect fits don't produce unbounded confidence).
+    with sigma^2 the *per-coordinate* residual variance — the weighted mean
+    of |r|^2 divided by 3, since J^T J / sigma^2 whitens each of the three
+    residual components — floored at sigma_floor^2 so near-perfect fits
+    don't produce unbounded confidence. (Using the full 3-component mean
+    would understate the information 3x and break the chi^2_6 delta
+    calibration documented in posegraph.robust_weight.)
     The closed form needs only three inlier moments (sum w, sum w p,
     sum w p p^T) — no per-point 6x6 products are materialized. Edges with
     <3 inliers get a tiny isotropic information so the graph keeps static
@@ -74,7 +78,7 @@ def edge_information(
     x = jnp.einsum("eij,enj->eni", reg.R, P) + reg.t[:, None, :] - Q
     d2 = jnp.sum(x * x, axis=-1)                       # [E, N]
     S0 = jnp.sum(w, axis=-1)                           # [E]
-    sigma2 = jnp.sum(w * d2, axis=-1) / jnp.maximum(S0, 1.0)
+    sigma2 = jnp.sum(w * d2, axis=-1) / (3.0 * jnp.maximum(S0, 1.0))
     sigma2 = jnp.maximum(sigma2, sigma_floor**2)       # [E]
 
     S1 = jnp.einsum("en,eni->ei", w, P)                # [E, 3]

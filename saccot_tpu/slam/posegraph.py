@@ -167,6 +167,18 @@ class PGOResult(NamedTuple):
     initial_cost: jnp.ndarray
 
 
+def edge_errors(poses, graph: PoseGraph) -> jnp.ndarray:
+    """Per-edge weighted squared error s_e = r^T L r (or w |r|^2), [E].
+
+    The quantity `robust_weight`/`robust_cost` gate on — exposed so callers
+    can scale a TLS gate to the solved graph's actual residual distribution
+    (a fixed gate in whitened units is meaningless when edges are weight-
+    whitened with mixed meter/radian residuals; see cli/sequence._close_loops).
+    """
+    r = jax.vmap(edge_residual)(poses[graph.edge_i], poses[graph.edge_j], graph.meas)
+    return _edge_sq_error(r, graph)
+
+
 def graph_cost(
     poses, graph: PoseGraph, robust: Optional[str] = None, delta: float = 1.0
 ) -> jnp.ndarray:

@@ -12,7 +12,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_EPS = 1e-8
+# Taylor-guard threshold on theta^2. Must be large for float32: the closed
+# forms cancel catastrophically long before they overflow — (1 - cos t)
+# rounds to exactly 0 once t^2 < ulp(1) ~ 1.2e-7, making B = 0 and
+# A/(2B) = inf -> NaN inside log_se3 for any near-identity transform (the
+# fixed point GN converges to, so this is the *common* case, not a corner).
+# Below theta = 0.1 the 2-term Taylor series are accurate to ~1e-9 relative
+# while the closed forms have already lost ~3 digits to cancellation; switch
+# there.
+_EPS = 1e-2
 
 
 def hat(w: jnp.ndarray) -> jnp.ndarray:
@@ -33,9 +41,15 @@ def _sinc_coeffs(theta2: jnp.ndarray):
     small = theta2 < _EPS
     t2 = jnp.where(small, 1.0, theta2)  # safe denominator
     t = jnp.sqrt(t2)
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(t) / t)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(t)) / t2)
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (t - jnp.sin(t)) / (t2 * t))
+    # Two-term Taylor below the guard (see _EPS): error ~ t^4 terms, i.e.
+    # <= 1e-6 relative at the threshold — better than the cancelled closed
+    # forms there.
+    A = jnp.where(small, 1.0 - theta2 / 6.0 + theta2 * theta2 / 120.0,
+                  jnp.sin(t) / t)
+    B = jnp.where(small, 0.5 - theta2 / 24.0 + theta2 * theta2 / 720.0,
+                  (1.0 - jnp.cos(t)) / t2)
+    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0 + theta2 * theta2 / 5040.0,
+                  (t - jnp.sin(t)) / (t2 * t))
     return A, B, C
 
 

@@ -35,14 +35,15 @@ def _write_scene(tmp_path, n_frag=4, n_world=600, n_keep=320, dim=32, seed=5):
         d = (D[idx] + rng.normal(scale=0.05, size=(n_keep, dim))).astype(np.float32)
         save_descriptors_npz(str(frag_dir / f"cloud_bin_{k}.npz"), x, d)
 
-    # gt.log: consecutive pairs + one loop (0, n_frag-1). Entry (i, j) is
-    # the transform taking fragment i's local points into fragment j's frame:
-    # x_j = T_j^-1 T_i x_i.
+    # gt.log: consecutive pairs + one loop (0, n_frag-1). Canonical
+    # Redwood/3DMatch convention: entry (i, j) holds T = inv(pose_i) @ pose_j,
+    # mapping fragment j's local points into fragment i's frame:
+    # x_i = T_i^-1 T_j x_j.
     pairs = [(i, i + 1) for i in range(n_frag - 1)] + [(0, n_frag - 1)]
     gt_path = tmp_path / "gt.log"
     with open(gt_path, "w") as f:
         for (i, j) in pairs:
-            T_ij = se3np.inv_T(poses[j]) @ poses[i]
+            T_ij = se3np.inv_T(poses[i]) @ poses[j]
             f.write(f"{i} {j} {n_frag}\n")
             for r in range(4):
                 f.write(" ".join(f"{v:.9f}" for v in T_ij[r]) + "\n")
