@@ -171,7 +171,7 @@ def main(argv=None) -> int:
     kw = {}
     if args.log:
         kw["log"] = JsonlLogger(args.log)
-    if args.ckpt and cfg.kind == "sweep":
+    if args.ckpt and cfg.kind in ("sweep", "slam"):
         kw["ckpt"] = args.ckpt
     if args.fail_after_shard is not None and cfg.kind == "sweep":
         kw["fail_after_shard"] = args.fail_after_shard

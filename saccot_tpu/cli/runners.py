@@ -179,8 +179,13 @@ def run_kitti_config(cfg: RunConfig, log: Optional[JsonlLogger] = None) -> Dict:
     )
 
 
-def run_slam_config(cfg: RunConfig, log: Optional[JsonlLogger] = None) -> Dict:
-    """Config 5: sequence SLAM — SAC-COT edges, pose graph, BA, ATE."""
+def run_slam_config(cfg: RunConfig, log: Optional[JsonlLogger] = None,
+                    ckpt: Optional[str] = None) -> Dict:
+    """Config 5: sequence SLAM — SAC-COT edges, pose graph, track BA, ATE.
+
+    With `ckpt`, BA checkpoints every 2 GN iterations and a rerun resumes
+    mid-solve (utils/checkpoint.save_slam_state; SURVEY.md section 5).
+    """
     from saccot_tpu.slam.frontend import run_sequence
 
     seq = slam_sequence(
@@ -191,6 +196,7 @@ def run_slam_config(cfg: RunConfig, log: Optional[JsonlLogger] = None) -> Dict:
     res = run_sequence(
         n_scans=cfg.n_scans, edges=seq["edges"], edge_P=seq["edge_P"],
         edge_Q=seq["edge_Q"], params=cfg.params,
+        ckpt_path=ckpt, ba_ckpt_every=2 if ckpt else 0, log=log,
     )
     jax.block_until_ready(res.poses)
     dt = time.time() - t0
@@ -202,6 +208,10 @@ def run_slam_config(cfg: RunConfig, log: Optional[JsonlLogger] = None) -> Dict:
         edges_registered=int(np.asarray(res.registration.success).sum()),
         wall_s=dt,
     )
+    if res.ba_stats is not None:
+        out["ba_tracks"] = res.ba_stats["n_tracks_kept"]
+        out["ba_multiview_tracks"] = res.ba_stats["multiview_tracks"]
+        out["ba_obs_truncated"] = res.ba_stats["n_obs_truncated"]
     if log:
         log.log(dict(**out))
     return out

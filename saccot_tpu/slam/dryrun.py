@@ -59,6 +59,7 @@ def dryrun_ba_step(mesh: Mesh) -> None:
             in_specs=(P("corr"), P("corr"), P("corr"), P("corr")),
             out_specs=BAResult(
                 poses=P(), landmarks=P("corr"), initial_cost=P(), final_cost=P(),
+                lam=P(),
             ),
             check_vma=False,
         )

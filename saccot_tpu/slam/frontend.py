@@ -20,7 +20,8 @@ Z_ij = T_i^{-1} T_j = M^{-1}.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -41,6 +42,7 @@ class SequenceResult(NamedTuple):
     registration: RegistrationResult  # batched per-edge results
     ba_result: Optional[BAResult]
     num_failed_edges: int            # edges below min_inliers / unsuccessful
+    ba_stats: Optional[Dict] = None  # track-association stats (truncation etc.)
 
 
 def edge_information(
@@ -163,45 +165,152 @@ def correspondences_to_ba(
     edge_Q: np.ndarray,            # [E, N, 3] points in frame j
     inliers: np.ndarray,           # [E, N] bool from registration
     max_landmarks: int = 2048,
-    obs_per_landmark: int = 2,
-) -> BAProblem:
-    """Promote inlier correspondences to landmark observations (host-side).
+    obs_per_landmark: int = 8,
+    merge_cell: float = 0.02,
+    min_track_obs: int = 2,
+    mode: str = "tracks",
+) -> Tuple[BAProblem, Dict]:
+    """Associate inlier correspondences into multi-view landmark tracks.
 
-    Each surviving correspondence becomes one landmark observed twice (in
-    scan i at P and scan j at Q); the landmark is initialized at the mean of
-    the two world-frame estimates. Fixed budgets keep shapes static.
+    The step that makes BA *bundle adjustment* rather than a re-weighted
+    pairwise solve: every inlier correspondence contributes two
+    observations of one physical point (in scan i at P, in scan j at Q);
+    observations of the same point made by *different edges* — a point
+    co-visible from 3+ scans appears in several pairwise registrations —
+    are merged into one landmark track by voxel-hashing their world-frame
+    estimates under the pose-graph poses (cell size `merge_cell`, in scene
+    units; ~2-3x the inlier noise merges same-point observations while
+    keeping distinct surface points apart; boundary-split tracks simply
+    become two smaller, still-consistent tracks).
+
+    Fully vectorized host-side NumPy (no Python loop over E x N). Tracks
+    are ranked by observation count so truncation to `max_landmarks` drops
+    the *least*-constrained tracks, not whichever edges came last; within a
+    track, slots prefer observations from distinct poses (that is what
+    couples 3+ poses through one landmark). All drops are surfaced in the
+    returned stats dict.
+
+    Returns (BAProblem, stats) with stats keys: n_obs, n_tracks_raw,
+    n_tracks_kept, n_tracks_dropped, n_obs_truncated, multiview_tracks
+    (tracks observing >= 3 distinct poses), max_track_obs.
+
+    mode="pairwise" keeps each correspondence as its own 2-observation
+    landmark (no cross-edge association) — the degenerate baseline that
+    reduces BA to a re-weighted pairwise solve; kept for A/B comparison
+    (tests/test_slam.py shows tracks beat it on co-visible sequences).
     """
     poses_np = np.asarray(poses, np.float64)
-    lm, op, oz, ow = [], [], [], []
+    edges = np.asarray(edges)
     E, N = inliers.shape
-    for e in range(E):
-        i, j = int(edges[e, 0]), int(edges[e, 1])
-        idx = np.nonzero(inliers[e])[0]
-        for n in idx:
-            p_w = poses_np[i] @ np.append(edge_P[e, n], 1.0)
-            q_w = poses_np[j] @ np.append(edge_Q[e, n], 1.0)
-            lm.append((p_w[:3] + q_w[:3]) * 0.5)
-            op.append([i, j])
-            oz.append([edge_P[e, n], edge_Q[e, n]])
-            ow.append([1.0, 1.0])
-            if len(lm) >= max_landmarks:
-                break
-        if len(lm) >= max_landmarks:
-            break
-
-    L = max_landmarks
     G = obs_per_landmark
-    landmarks = np.zeros((L, 3), np.float32)
+    L = max_landmarks
+
+    # World-frame estimate of every observation under the current poses.
+    Ri = poses_np[edges[:, 0], :3, :3]  # [E, 3, 3]
+    ti = poses_np[edges[:, 0], :3, 3]
+    Rj = poses_np[edges[:, 1], :3, :3]
+    tj = poses_np[edges[:, 1], :3, 3]
+    wP = np.einsum("eab,enb->ena", Ri, np.asarray(edge_P, np.float64)) + ti[:, None]
+    wQ = np.einsum("eab,enb->ena", Rj, np.asarray(edge_Q, np.float64)) + tj[:, None]
+
+    valid = np.asarray(inliers, bool).reshape(-1)
+    pose_id = np.concatenate([
+        np.repeat(edges[:, 0], N), np.repeat(edges[:, 1], N)
+    ])[np.concatenate([valid, valid])]
+    z_loc = np.concatenate([
+        np.asarray(edge_P, np.float32).reshape(-1, 3)[valid],
+        np.asarray(edge_Q, np.float32).reshape(-1, 3)[valid],
+    ])
+    w_pt = np.concatenate([
+        wP.reshape(-1, 3)[valid], wQ.reshape(-1, 3)[valid]
+    ])
+    n_obs = w_pt.shape[0]
+
+    prob_out = functools.partial(
+        _pack_ba_problem, poses=poses, L=L, G=G
+    )
+    if n_obs == 0:
+        return prob_out(None, None, None, None), dict(
+            n_obs=0, n_tracks_raw=0, n_tracks_kept=0, n_tracks_dropped=0,
+            n_obs_truncated=0, multiview_tracks=0, max_track_obs=0,
+        )
+
+    if mode == "pairwise":
+        # Each correspondence = its own landmark: both halves of the
+        # concatenated observation list index the same correspondence, so
+        # the "track key" is simply the correspondence's flat index.
+        key = np.concatenate([np.arange(valid.size)] * 2)[
+            np.concatenate([valid, valid])
+        ]
+    else:
+        # Voxel hash -> track ids. 21 bits per axis around a 2^20 offset
+        # covers +-1e6 cells per dimension.
+        q = np.floor(w_pt / merge_cell).astype(np.int64) + (1 << 20)
+        key = q[:, 0] | (q[:, 1] << 21) | (q[:, 2] << 42)
+    uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+
+    # Keep the best-constrained tracks: count desc, >= min_track_obs.
+    order = np.argsort(-counts, kind="stable")
+    keep = order[counts[order] >= min_track_obs][:L]
+    n_kept = len(keep)
+    rank = np.full(len(uniq), -1, np.int64)
+    rank[keep] = np.arange(n_kept)
+    tr = rank[inv]  # per-observation track slot, -1 = dropped track
+
+    sel = np.nonzero(tr >= 0)[0]
+    # Prefer distinct poses within a track: stable-sort observations by
+    # (track, first-observation-of-this-pose? 0 : 1), then take the first G
+    # per track — multi-view coverage survives truncation.
+    by_tp = sel[np.lexsort((pose_id[sel], tr[sel]))]
+    first = np.ones(len(by_tp), bool)
+    first[1:] = (tr[by_tp][1:] != tr[by_tp][:-1]) | (
+        pose_id[by_tp][1:] != pose_id[by_tp][:-1]
+    )
+    so = by_tp[np.lexsort(((~first).astype(np.int8), tr[by_tp]))]
+    t_sorted = tr[so]
+    group_sizes = np.bincount(t_sorted, minlength=n_kept)
+    starts = np.concatenate([[0], np.cumsum(group_sizes)[:-1]])
+    slot = np.arange(len(so)) - starts[t_sorted]
+    take = slot < G
+
     obs_pose = np.zeros((L, G), np.int32)
     obs_z = np.zeros((L, G, 3), np.float32)
     obs_w = np.zeros((L, G), np.float32)
-    n_real = min(len(lm), L)
-    if n_real:
-        landmarks[:n_real] = np.asarray(lm[:n_real], np.float32)
-        obs_pose[:n_real] = np.asarray(op[:n_real], np.int32)[:, :G]
-        obs_z[:n_real] = np.asarray(oz[:n_real], np.float32)[:, :G]
-        obs_w[:n_real] = np.asarray(ow[:n_real], np.float32)[:, :G]
+    ti_, si_ = t_sorted[take], slot[take]
+    obs_pose[ti_, si_] = pose_id[so[take]]
+    obs_z[ti_, si_] = z_loc[so[take]]
+    obs_w[ti_, si_] = 1.0
 
+    # Landmark init: mean world-frame estimate over the kept observations.
+    landmarks = np.zeros((L, 3), np.float32)
+    acc = np.zeros((L, 3), np.float64)
+    np.add.at(acc, ti_, w_pt[so[take]])
+    cnt = np.bincount(ti_, minlength=L).astype(np.float64)
+    landmarks[:n_kept] = (
+        acc[:n_kept] / np.maximum(cnt[:n_kept], 1.0)[:, None]
+    ).astype(np.float32)
+
+    # Distinct poses per kept track (for the multiview stat): `first` marks
+    # the first observation of each (track, pose) run in by_tp order.
+    distinct = np.bincount(tr[by_tp[first]], minlength=n_kept)
+    stats = dict(
+        n_obs=int(n_obs),
+        n_tracks_raw=int((counts >= min_track_obs).sum()),
+        n_tracks_kept=int(n_kept),
+        n_tracks_dropped=int((counts >= min_track_obs).sum() - n_kept),
+        n_obs_truncated=int((~take).sum()),
+        multiview_tracks=int((distinct >= 3).sum()),
+        max_track_obs=int(counts.max()) if len(counts) else 0,
+    )
+    return prob_out(landmarks, obs_pose, obs_z, obs_w), stats
+
+
+def _pack_ba_problem(landmarks, obs_pose, obs_z, obs_w, *, poses, L, G):
+    if landmarks is None:
+        landmarks = np.zeros((L, 3), np.float32)
+        obs_pose = np.zeros((L, G), np.int32)
+        obs_z = np.zeros((L, G, 3), np.float32)
+        obs_w = np.zeros((L, G), np.float32)
     return BAProblem(
         poses=jnp.asarray(np.asarray(poses, np.float32)),
         landmarks=jnp.asarray(landmarks),
@@ -249,6 +358,11 @@ def run_sequence(
     use_info: bool = True,
     robust: Optional[str] = "huber",
     robust_delta: float = 3.0,
+    obs_per_landmark: int = 8,
+    merge_cell: Optional[float] = None,
+    ckpt_path: Optional[str] = None,
+    ba_ckpt_every: int = 0,
+    log=None,
 ) -> SequenceResult:
     """Full sequence SLAM on one device (the sharded variant lives in
     dist/sweep.py + slam/dryrun.py composition).
@@ -256,7 +370,15 @@ def run_sequence(
     use_info derives [E, 6, 6] information matrices from the inlier
     statistics (edge_information); robust selects the pose-graph loss
     ("huber"/"dcs"/None) with threshold `robust_delta` on the whitened
-    residual.
+    residual. BA runs on multi-view landmark tracks (voxel-merge cell
+    `merge_cell`, default 3x the estimator's inlier threshold) with up to
+    `obs_per_landmark` observations each.
+
+    Checkpoint/resume: with `ckpt_path`, BA runs in chunks of
+    `ba_ckpt_every` iterations (0 = one chunk), saving (poses, landmarks,
+    gn_iter, lam) after each; a rerun with the same arguments restores the
+    iterate AND the LM damping state and continues where the interrupted
+    run stopped — the resumed trajectory matches the uninterrupted one.
     """
     reg = register_batch(jnp.asarray(edge_P), jnp.asarray(edge_Q), params)
     graph = registrations_to_graph(
@@ -271,18 +393,53 @@ def run_sequence(
     )
 
     ba_res = None
+    ba_stats = None
     poses = pgo.poses
     if run_ba:
-        prob = correspondences_to_ba(
+        if merge_cell is None:
+            merge_cell = 3.0 * float(params.inlier_tau)
+        prob, ba_stats = correspondences_to_ba(
             pgo.poses, edges, edge_P, edge_Q, np.asarray(reg.inliers),
-            max_landmarks=max_landmarks,
+            max_landmarks=max_landmarks, obs_per_landmark=obs_per_landmark,
+            merge_cell=merge_cell,
         )
-        ba_res = bundle_adjust(prob, iters=ba_iters)
-        poses = ba_res.poses
+        if log is not None:
+            log.log(dict(event="ba_tracks", **ba_stats))
+
+        done, lam = 0, None
+        if ckpt_path:
+            from saccot_tpu.utils.checkpoint import restore_slam_state
+
+            st = restore_slam_state(ckpt_path)
+            if st is not None and int(st.get("gn_iter", 0)) > 0:
+                done = min(int(st["gn_iter"]), ba_iters)
+                prob = prob._replace(
+                    poses=jnp.asarray(np.asarray(st["poses"], np.float32)),
+                    landmarks=jnp.asarray(
+                        np.asarray(st["landmarks"], np.float32)),
+                )
+                if "lam" in st:
+                    lam = jnp.asarray(float(np.asarray(st["lam"])),
+                                      jnp.float32)
+        while done < ba_iters:
+            chunk = (ba_iters - done if ba_ckpt_every <= 0
+                     else min(ba_ckpt_every, ba_iters - done))
+            ba_res = bundle_adjust(prob, iters=chunk, lam0=lam)
+            prob = prob._replace(poses=ba_res.poses,
+                                 landmarks=ba_res.landmarks)
+            lam = ba_res.lam
+            done += chunk
+            if ckpt_path:
+                from saccot_tpu.utils.checkpoint import save_slam_state
+
+                save_slam_state(ckpt_path, ba_res.poses, ba_res.landmarks,
+                                gn_iter=done, lam=float(np.asarray(lam)))
+        poses = prob.poses
     return SequenceResult(
         poses=poses,
         pose_graph_result=pgo,
         registration=reg,
         ba_result=ba_res,
         num_failed_edges=n_failed,
+        ba_stats=ba_stats,
     )

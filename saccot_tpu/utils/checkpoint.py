@@ -71,13 +71,19 @@ class SweepCheckpointer:
         return {k: np.concatenate(v, axis=0) for k, v in out.items()}
 
 
-def save_slam_state(path: str, poses, landmarks=None, gn_iter: int = 0) -> None:
-    """Checkpoint SLAM state (poses, landmarks, GN iterate) for mid-solve resume."""
+def save_slam_state(path: str, poses, landmarks=None, gn_iter: int = 0,
+                    lam=None) -> None:
+    """Checkpoint SLAM state for mid-solve resume: poses, landmarks, the GN
+    iterate count, and the LM damping `lam` — restoring lam is what makes a
+    resumed solve follow the identical accept/reject schedule as an
+    uninterrupted one (see slam/frontend.run_sequence)."""
     import numpy as np
 
     state = {"poses": np.asarray(poses), "gn_iter": np.asarray(gn_iter)}
     if landmarks is not None:
         state["landmarks"] = np.asarray(landmarks)
+    if lam is not None:
+        state["lam"] = np.asarray(lam)
     save(path, state)
 
 
