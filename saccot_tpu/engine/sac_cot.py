@@ -132,6 +132,12 @@ def _register_pair(
         if solve_impl == "pallas" and P_full.shape[0] <= MAX_N_SOLVE:
             # Fused gather + Horn solve; ~5x over the XLA gather + SoA
             # iteration at the bench operating point (same quaternion core).
+            # Above MAX_N_SOLVE the streaming kernel exists
+            # (kernels/solve3._solve3_stream, parity-tested) but its one-hot
+            # MXU work scales with N*K and measures ~1 ms/pair SLOWER than
+            # the XLA gather at N=50k/K=2048 (scripts/exp_kitti_stages.py,
+            # r4) — the gather cost scales with rows gathered (3K), not N,
+            # so XLA is the right tool there. Routed accordingly.
             R, t = solve3_pallas(P_full, Q_full, triples)
         else:
             tp = P_full[triples]  # [K, 3, 3]

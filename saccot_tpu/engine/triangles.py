@@ -148,8 +148,27 @@ def triangle_pool_from_points(
             j = nbr_idx[:, b1]
             k = nbr_idx[:, b2]
             return _rank_candidates(i, j, k, cand, params, n_nodes=N)
-        # Beyond the fused-column VMEM budget the stage is HBM-bound on the
-        # [A, N] rows either way; fall through to the blockwise XLA path.
+        # Beyond the single-block VMEM budget: stream column blocks through
+        # the N-unbounded kernel (identical selection semantics, VMEM O(1)
+        # in N — VERDICT r3 next #2), then score candidates from the
+        # gathered A*B neighbor coords (N-independent).
+        from saccot_tpu.kernels.triangles import (
+            anchor_neighbors_stream_pallas, candidate_topt_pallas,
+        )
+
+        nbr_s, nbr_idx = anchor_neighbors_stream_pallas(
+            P, Q, anchors, B, params.compat_tau, params.min_separation,
+            mask=mask,
+            anchor_mask=None if mask is None else mask[anchors],
+        )
+        if params.per_anchor_candidates > 0:
+            T = min(params.per_anchor_candidates, B * (B - 1) // 2)
+            cand_s, cand_slot = candidate_topt_pallas(
+                nbr_s, P[nbr_idx], Q[nbr_idx], T,
+                params.compat_tau, params.min_separation,
+            )
+            return _pool_from_preranked(anchors, nbr_idx, cand_s, cand_slot, params)
+        return _pool_from_neighbors(anchors, nbr_s, nbr_idx, P, Q, params)
     rows = compat_mod.score_block(
         P[anchors], Q[anchors], P, Q, params,
         row_ids=anchors,

@@ -32,8 +32,15 @@ class ChipPeaks:
 
     # Peak dense bf16 MXU throughput, FLOP/s.
     mxu_bf16_flops: float = 394e12
-    # f32 vector-unit throughput, FLOP/s (8x128 VPU lanes).
-    vpu_f32_flops: float = 0.9e12
+    # f32 vector-unit op throughput, ops/s, for the mixed op set the stage
+    # models count (FMAs, compares, selects all as 1). No public v5e spec
+    # gives this number; 0.9e12 (the r1-r3 value) was measurably too low —
+    # the compat kernel alone sustains 1.68e12 model-ops/s at N=50k
+    # (scripts/exp_kitti_stages.py, r4), i.e. fractions came out > 1.
+    # Calibrated to 2.0e12 (consistent with 8x128 lanes x ~1.5 GHz with
+    # dual-issue on part of the mix); fractions are a cross-stage yardstick
+    # against this ceiling, not a vendor-spec comparison.
+    vpu_f32_flops: float = 2.0e12
     # HBM bandwidth, bytes/s.
     hbm_bytes_per_s: float = 819e9
 
@@ -67,6 +74,80 @@ def scoring_model(n: int, k: int, batch: int = 1) -> Dict[str, float]:
         "flops": FLOPS_PER_SCORE_ENTRY * batch * k * n,
         "bytes": batch * (2 * n * 3 + k * 12 + k) * 4.0,
     }
+
+
+def _pad128(n: int) -> int:
+    return -(-int(n) // 128) * 128
+
+
+def pool_model(
+    n: int, a: int, b: int, t: int = 4, batch: int = 1
+) -> Dict[str, float]:
+    """Analytic cost of the fused triangle-pool kernel (VERDICT r3 weak #1).
+
+    Per anchor tile the kernel executes, counted from
+    kernels/triangles._anchor_topb_kernel:
+
+      - row scoring over the [A, Np] block: same 22-op rigidity evaluation
+        as compat (minus the row-sum; the self-pair test adds one compare);
+      - B argmax sweeps, each a row-max (1 op/entry), a hit compare (1), a
+        where+min index reduction (2), and the knockout select (1) -> ~5
+        ops per entry per sweep — this is the selection cost the r3 receipt
+        asserted was "bounded by VPU sweeps" without a number;
+      - candidate scoring over the [B, B] grid per anchor (~25 ops/entry,
+        as compat) plus T top-T sweeps (~5 ops/entry each);
+      - `mxu_flops`: the one-hot coordinate-extraction dot_generals
+        (2 clouds x 2*3*Np*B*A MAC-flops). Reported separately because it
+        runs on the MXU; at production shapes it is far from the MXU
+        throughput bound and its real cost is issue latency, which no
+        roofline captures — treat its bound time as a lower bound only.
+
+    HBM traffic is O(A + N) in and O(A*B) out (the [A, N] rows never leave
+    the chip).
+    """
+    n_pad = _pad128(n)
+    vpu = (22.0 + 5.0 * b) * a * n_pad + (25.0 + 5.0 * t) * a * b * b
+    mxu = 12.0 * a * b * n_pad
+    return {
+        "flops": batch * vpu,
+        "mxu_flops": batch * mxu,
+        "bytes": batch * (2 * n * 3 + a * (2 * b + 2 * t)) * 4.0,
+    }
+
+
+def solve_model(n: int, k: int, batch: int = 1) -> Dict[str, float]:
+    """Analytic cost of the fused 3-point solve (kernels/solve3.py).
+
+    MXU: the one-hot gather contraction, 2 clouds x (2 * 3 * Np * 3K)
+    MAC-flops at Precision.HIGHEST (~6 bf16 passes, so its effective peak
+    is mxu_bf16_flops / 6 — see ChipPeaks.highest_passes). VPU: the 9-entry
+    cross-covariance (~60 ops/hypothesis) plus the quaternion power
+    iteration run in XLA (~250 ops/hypothesis, engine/svd3.py).
+    """
+    n_pad = _pad128(n)
+    return {
+        "flops": batch * (60.0 + 250.0) * k,
+        "mxu_flops": batch * 36.0 * n_pad * k,
+        "bytes": batch * (6 * n + 21 * k) * 4.0,
+    }
+
+
+def stage_bound_seconds(
+    model: Dict[str, float], peaks: "ChipPeaks" = None, highest: bool = False
+) -> float:
+    """Speed-of-light time for a stage model: max of its VPU-compute, HBM,
+    and (when present) MXU bounds. `highest` divides the MXU peak by the
+    multi-pass factor of Precision.HIGHEST f32 contractions."""
+    peaks = peaks or ChipPeaks()
+    t = max(
+        model.get("flops", 0.0) / peaks.vpu_f32_flops,
+        model.get("bytes", 0.0) / peaks.hbm_bytes_per_s,
+    )
+    mxu = model.get("mxu_flops", 0.0)
+    if mxu:
+        peak = peaks.mxu_bf16_flops / (6.0 if highest else 1.0)
+        t = max(t, mxu / peak)
+    return t
 
 
 def roofline_fraction(

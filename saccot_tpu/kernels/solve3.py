@@ -42,6 +42,7 @@ from saccot_tpu.engine.svd3 import (
 
 TILE_K = 256
 MAX_N_SOLVE = 2048  # one-hot tile = MAX_N_SOLVE * 3*TILE_K * 4 B = 6 MB VMEM
+TILE_N_SOLVE = 1024  # point-block width of the streaming (N-unbounded) path
 
 
 def _solve_kernel(p_ref, q_ref, tri_ref, h_ref, pb_ref, qb_ref):
@@ -94,6 +95,105 @@ def _solve_kernel(p_ref, q_ref, tri_ref, h_ref, pb_ref, qb_ref):
     qb_ref[:] = qbar
 
 
+def _solve_stream_kernel(p_ref, q_ref, tri_ref, h_ref, pb_ref, qb_ref,
+                         pg_sc, qg_sc):
+    # Streaming variant: grid = (K tiles, N blocks), N innermost. Each step
+    # builds the one-hot for its [3, TN] point block only (rows offset by
+    # j*TN) and accumulates the gathered coordinates in scratch — a triple's
+    # three points each live in exactly one block, so the block-sums add up
+    # to the full gather. Covariance/centroids are emitted at the last
+    # block. VMEM is O(TN * 3*TK) independent of N: this removes
+    # MAX_N_SOLVE (VERDICT r3 next #2).
+    j = lax.convert_element_type(pl.program_id(1), jnp.int32)
+    nc = pl.num_programs(1)
+    tn = p_ref.shape[1]
+    TK = tri_ref.shape[1]
+    idx = tri_ref[:]                                    # [3, TK] global ids
+    rows = lax.broadcasted_iota(jnp.int32, (tn, 3 * TK), 0) + j * tn
+    oh = (rows == idx.reshape(1, 3 * TK)).astype(jnp.float32)
+    pg = jnp.dot(p_ref[:], oh, preferred_element_type=jnp.float32,
+                 precision=lax.Precision.HIGHEST)       # [3, 3*TK]
+    qg = jnp.dot(q_ref[:], oh, preferred_element_type=jnp.float32,
+                 precision=lax.Precision.HIGHEST)
+
+    @pl.when(j == 0)
+    def _init():
+        pg_sc[...] = pg
+        qg_sc[...] = qg
+
+    @pl.when(j > 0)
+    def _acc():
+        pg_sc[...] += pg
+        qg_sc[...] += qg
+
+    @pl.when(j == nc - 1)
+    def _emit():
+        pga = pg_sc[...]
+        qga = qg_sc[...]
+
+        def slot(g, s):
+            return g[:, s * TK:(s + 1) * TK]
+
+        p0, p1, p2 = slot(pga, 0), slot(pga, 1), slot(pga, 2)
+        q0, q1, q2 = slot(qga, 0), slot(qga, 1), slot(qga, 2)
+        third = jnp.float32(1.0 / 3.0)
+        pbar = (p0 + p1 + p2) * third
+        qbar = (q0 + q1 + q2) * third
+        pc = (p0 - pbar, p1 - pbar, p2 - pbar)
+        qc = (q0 - qbar, q1 - qbar, q2 - qbar)
+
+        def cov(a, b):
+            return (
+                pc[0][a:a + 1, :] * qc[0][b:b + 1, :]
+                + pc[1][a:a + 1, :] * qc[1][b:b + 1, :]
+                + pc[2][a:a + 1, :] * qc[2][b:b + 1, :]
+            )
+
+        h_ref[:] = jnp.concatenate(
+            [cov(a, b) for a in range(3) for b in range(3)], axis=0
+        )
+        pb_ref[:] = pbar
+        qb_ref[:] = qbar
+
+
+def _solve3_stream(pT, qT, triT, N, K, Kp, tk, interpret):
+    """pallas_call wrapper for the streaming gather+cov (N > MAX_N_SOLVE)."""
+    tn = min(TILE_N_SOLVE, max(128, -(-N // 128) * 128))
+    Np = -(-N // tn) * tn
+    pT = jnp.pad(pT, ((0, 0), (0, Np - pT.shape[1])))
+    qT = jnp.pad(qT, ((0, 0), (0, Np - qT.shape[1])))
+    grid = (Kp // tk, Np // tn)  # N blocks innermost => sequential
+    return pl.pallas_call(
+        _solve_stream_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tk), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((9, tk), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tk), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tk), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((9, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((3, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((3, Kp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, 3 * tk), jnp.float32),
+            pltpu.VMEM((3, 3 * tk), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 3 * Np * 3 * Kp + 60 * Kp,
+            bytes_accessed=(Kp // tk) * 6 * Np * 4 + 18 * Kp * 4,
+            transcendentals=0,
+        ),
+    )(pT, qT, triT)
+
+
 def solve3_pallas(
     P: jnp.ndarray,
     Q: jnp.ndarray,
@@ -109,7 +209,22 @@ def solve3_pallas(
         interpret = jax.default_backend() != "tpu"
     N = P.shape[0]
     K = triples.shape[0]
-    assert N <= MAX_N_SOLVE, f"solve3_pallas: N={N} exceeds {MAX_N_SOLVE}"
+
+    if N > MAX_N_SOLVE:
+        # Stream point blocks through the accumulating kernel — no N cap.
+        tk = TILE_K
+        Kp = -(-K // tk) * tk
+        pT = P.astype(jnp.float32).T
+        qT = Q.astype(jnp.float32).T
+        triT = jnp.pad(triples.astype(jnp.int32).T, ((0, 0), (0, Kp - K)))
+        h9, pb3, qb3 = _solve3_stream(pT, qT, triT, N, K, Kp, tk, interpret)
+        qv = quaternion_from_cross_covariance(*(h9[c, :K] for c in range(9)))
+        r = rotation_entries_from_quaternion(*qv)
+        R = jnp.stack(r, axis=0).T.reshape(K, 3, 3)
+        pbar = pb3[:, :K].T
+        qbar = qb3[:, :K].T
+        t = qbar - jnp.einsum("kij,kj->ki", R, pbar)
+        return R, t
 
     Np = -(-N // 128) * 128
     # The [Np, 3*TK] one-hot tile is the kernel's dominant VMEM allocation;

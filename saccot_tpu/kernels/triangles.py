@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_A = 128
 MAX_N_FUSED = 4096  # [TILE_A, N] f32 row block must fit comfortably in VMEM
+TILE_N_STREAM = 2048  # column-block width of the streaming (N-unbounded) kernel
 
 
 def _anchor_topb_kernel(
@@ -180,6 +181,317 @@ def _anchor_topb_kernel(
     for t in range(top_t, cand_out.shape[0]):
         cand_out[t, :] = jnp.full((ta,), -1.0, jnp.float32)
         slot_out[t, :] = jnp.zeros((ta,), jnp.int32)
+
+
+def _anchor_topb_stream_kernel(
+    aid_ref,   # VMEM [1, TA] int32 global anchor node ids
+    amr_ref,   # VMEM [1, TA] anchor (row) mask
+    pa_ref,    # VMEM [3, TA] anchor source points
+    qa_ref,    # VMEM [3, TA] anchor target points
+    pc_ref,    # VMEM [3, TN] source-point COLUMN BLOCK j
+    qc_ref,    # VMEM [3, TN] target-point column block j
+    mc_ref,    # VMEM [1, TN] column-mask block j
+    s_out,     # VMEM [B, TA] running top-B scores (persists across j)
+    i_out,     # VMEM [B, TA] running top-B global indices
+    *,
+    compat_tau: float,
+    min_sep: float,
+    num_neighbors: int,
+    n_cols: int,
+):
+    """Streaming top-B: grid = (anchor tiles, column blocks).
+
+    The column axis is the *inner* (sequential) grid dimension, so for a
+    fixed anchor tile the output block stays resident in VMEM while column
+    blocks j = 0..NC-1 stream through: each step scores its [TA, TN] block
+    and merges it into the running top-B by B branchless argmax sweeps over
+    the block plus the carried B entries. Global column indices break ties
+    exactly like `lax.top_k` over the whole row (values descending, lowest
+    index first), so the streamed result is bit-identical to the
+    single-block kernel's — this is what removes MAX_N_FUSED: VMEM holds
+    one [TA, TN] block regardless of N (VERDICT r3 next #2).
+    """
+    j = pl.program_id(1)
+    ta = s_out.shape[1]
+    tn = pc_ref.shape[1]
+    B = num_neighbors
+    BIG = jnp.int32(1 << 29)
+
+    @pl.when(j == 0)
+    def _init():
+        # Distinct huge indices per slot keep knockouts one-at-a-time even
+        # among invalid entries (mirrors the single-block kernel's behavior
+        # of draining padded columns individually).
+        s_out[...] = jnp.full((B, ta), -1.0, jnp.float32)
+        i_out[...] = BIG + jax.lax.broadcasted_iota(jnp.int32, (B, ta), 0)
+
+    def d2(a_ref, b_ref):
+        acc = None
+        for c in range(3):
+            diff = a_ref[c, :][:, None] - b_ref[c, :][None, :]  # [TA, TN]
+            acc = diff * diff if acc is None else acc + diff * diff
+        return acc
+
+    dp = jnp.sqrt(d2(pa_ref, pc_ref))
+    dq = jnp.sqrt(d2(qa_ref, qc_ref))
+    delta = jnp.abs(dp - dq)
+    ok = (delta < compat_tau) & (dp > min_sep) & (dq > min_sep)
+
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (ta, tn), 1) + j * tn
+    ok &= aid_ref[0, :][:, None] != gcol  # self-pairs
+
+    Sb = jnp.where(ok, 1.0 - delta * (1.0 / compat_tau), 0.0)
+    Sb = Sb * mc_ref[0, :][None, :] * amr_ref[0, :][:, None]
+    Sb = jnp.where(gcol >= n_cols, -1.0, Sb)
+
+    old_v = s_out[...]  # [B, TA]
+    old_i = i_out[...]
+    for b in range(B):
+        vb = jnp.max(Sb, axis=1)                                  # [TA]
+        gb = jnp.min(jnp.where(Sb == vb[:, None], gcol, BIG), axis=1)
+        vo = jnp.max(old_v, axis=0)                               # [TA]
+        go = jnp.min(jnp.where(old_v == vo[None, :], old_i, BIG), axis=0)
+        v = jnp.maximum(vb, vo)
+        g = jnp.where(
+            vb > vo, gb, jnp.where(vo > vb, go, jnp.minimum(gb, go))
+        )
+        s_out[b, :] = v
+        i_out[b, :] = g
+        Sb = jnp.where(gcol == g[:, None], -jnp.inf, Sb)
+        old_v = jnp.where(old_i == g[None, :], -jnp.inf, old_v)
+
+
+def anchor_neighbors_stream_pallas(
+    P: jnp.ndarray,
+    Q: jnp.ndarray,
+    anchors: jnp.ndarray,
+    num_neighbors: int,
+    compat_tau: float,
+    min_separation: float,
+    mask: Optional[jnp.ndarray] = None,
+    anchor_mask: Optional[jnp.ndarray] = None,
+    interpret: Optional[bool] = None,
+    tile_n: int = TILE_N_STREAM,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """N-unbounded top-B neighbors: (nbr_s [A, B], nbr_idx [A, B]).
+
+    Column-blocked variant of `anchor_neighbors_pallas` for N beyond the
+    single-block VMEM budget (KITTI-scale): identical selection semantics,
+    VMEM usage O(TILE_A * tile_n) independent of N. Candidate scoring runs
+    separately (`candidate_topt_pallas`) from the gathered neighbor
+    coordinates — an O(A*B) gather, N-independent.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N = P.shape[0]
+    A = anchors.shape[0]
+    B = num_neighbors
+    ta = min(TILE_A, max(8, A))
+    Ap = -(-A // ta) * ta
+    tn = min(tile_n, max(128, -(-N // 128) * 128))
+    Np = -(-N // tn) * tn
+
+    def padx(x, n, axis, value=0.0):
+        pad = n - x.shape[axis]
+        if pad <= 0:
+            return x
+        w = [(0, 0)] * x.ndim
+        w[axis] = (0, pad)
+        return jnp.pad(x, w, constant_values=value)
+
+    anchors = anchors.astype(jnp.int32)
+    Pa = P[anchors].astype(jnp.float32)
+    Qa = Q[anchors].astype(jnp.float32)
+    mc = jnp.ones((N,), jnp.float32) if mask is None else mask.astype(jnp.float32)
+    ma = (
+        jnp.ones((A,), jnp.float32)
+        if anchor_mask is None
+        else anchor_mask.astype(jnp.float32)
+    )
+
+    aid = padx(anchors[None, :], Ap, 1, value=-1)
+    map_ = padx(ma[None, :], Ap, 1)
+    paT = padx(Pa.T, Ap, 1)
+    qaT = padx(Qa.T, Ap, 1)
+    pcT = padx(P.astype(jnp.float32).T, Np, 1)
+    qcT = padx(Q.astype(jnp.float32).T, Np, 1)
+    mcp = padx(mc[None, :], Np, 1)
+
+    grid = (Ap // ta, Np // tn)  # column blocks innermost => sequential
+    s_out, i_out = pl.pallas_call(
+        functools.partial(
+            _anchor_topb_stream_kernel,
+            compat_tau=float(compat_tau),
+            min_sep=float(min_separation),
+            num_neighbors=B,
+            n_cols=N,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ta), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ta), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ta), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ta), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, ta), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, ta), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Ap), jnp.float32),
+            jax.ShapeDtypeStruct((B, Ap), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(22 + 3 * B) * Ap * Np,
+            bytes_accessed=(Ap // ta) * Np * 28 + Ap * B * 8,
+            transcendentals=0,
+        ),
+    )(aid, map_, paT, qaT, pcT, qcT, mcp)
+
+    nbr_s = s_out[:, :A].T
+    nbr_idx = i_out[:, :A].T
+    # Invalid selections carry huge sentinel indices; clamp for safe gathers
+    # (their score is <= 0 so downstream already discards them).
+    nbr_idx = jnp.minimum(nbr_idx, N - 1)
+    return nbr_s, nbr_idx
+
+
+def _candidate_topt_kernel(
+    sv_ref,    # VMEM [B, TA] per-anchor neighbor scores (descending)
+    pn_ref,    # VMEM [3*B, TA] neighbor source coords, row = c*B + b
+    qn_ref,    # VMEM [3*B, TA] neighbor target coords
+    vm_ref,    # VMEM [B, TA] neighbor validity (1 = real selection)
+    cand_out,  # VMEM [Tp, TA] top-T candidate scores
+    slot_out,  # VMEM [Tp, TA] flat b1*B+b2 pair slots
+    *,
+    compat_tau: float,
+    min_sep: float,
+    num_neighbors: int,
+    top_t: int,
+):
+    """Candidate-triangle scoring + per-anchor top-T from neighbor coords.
+
+    The N-independent second half of `_anchor_topb_kernel`'s fused path:
+    consumes the [A, B] selections (coords gathered in XLA — O(A*B) rows)
+    instead of extracting them from the resident point set, so it composes
+    with the streaming top-B kernel at any N. Same candidate semantics:
+    score = s_ij + s_ik + s_jk over the b1 < b2 upper triangle.
+    """
+    ta = sv_ref.shape[1]
+    B = num_neighbors
+    sv = sv_ref[...] * vm_ref[...]  # zero out invalid selections
+
+    dp2 = jnp.zeros((B, B, ta), jnp.float32)
+    dq2 = jnp.zeros((B, B, ta), jnp.float32)
+    for c in range(3):
+        pc_c = pn_ref[c * B:(c + 1) * B, :]              # [B, TA]
+        qc_c = qn_ref[c * B:(c + 1) * B, :]
+        dpc = pc_c[:, None, :] - pc_c[None, :, :]        # [B, B, TA]
+        dqc = qc_c[:, None, :] - qc_c[None, :, :]
+        dp2 += dpc * dpc
+        dq2 += dqc * dqc
+    dpn = jnp.sqrt(dp2)
+    dqn = jnp.sqrt(dq2)
+    dl = jnp.abs(dpn - dqn)
+    okjk = (dl < compat_tau) & (dpn > min_sep) & (dqn > min_sep)
+    s_jk = jnp.where(okjk, 1.0 - dl * (1.0 / compat_tau), 0.0)
+    score3 = sv[:, None, :] + sv[None, :, :] + s_jk
+    valid3 = (sv[:, None, :] > 0) & (sv[None, :, :] > 0) & (s_jk > 0)
+    r1 = jax.lax.broadcasted_iota(jnp.int32, (B, B, ta), 0)
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (B, B, ta), 1)
+    valid3 &= r1 < r2
+    Sc = jnp.where(valid3, score3, -1.0)
+
+    pair_id = r1 * B + r2
+    for t in range(top_t):
+        vmax = jnp.max(Sc, axis=(0, 1))
+        hit = Sc == vmax[None, None, :]
+        slot = jnp.min(jnp.where(hit, pair_id, B * B), axis=(0, 1)).astype(jnp.int32)
+        cand_out[t, :] = jnp.maximum(vmax, -1.0)
+        slot_out[t, :] = jnp.minimum(slot, B * B - 1)
+        Sc = jnp.where(pair_id == slot[None, None, :], -jnp.inf, Sc)
+    for t in range(top_t, cand_out.shape[0]):
+        cand_out[t, :] = jnp.full((ta,), -1.0, jnp.float32)
+        slot_out[t, :] = jnp.zeros((ta,), jnp.int32)
+
+
+def candidate_topt_pallas(
+    nbr_s: jnp.ndarray,    # [A, B] neighbor scores (descending, <=0 invalid)
+    nbr_p: jnp.ndarray,    # [A, B, 3] neighbor source coords
+    nbr_q: jnp.ndarray,    # [A, B, 3] neighbor target coords
+    top_t: int,
+    compat_tau: float,
+    min_separation: float,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-anchor top-T candidate triangles from gathered neighbor coords.
+
+    Returns (cand_s [A, T], cand_slot [A, T] int32 flat b1*B+b2) — the same
+    contract as `anchor_neighbors_pallas(top_t=...)`'s last two outputs.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    A, B = nbr_s.shape
+    ta = min(TILE_A, max(8, A))
+    Ap = -(-A // ta) * ta
+    tp_p = max(8, -(-top_t // 8) * 8)
+
+    def padx(x, n, axis, value=0.0):
+        pad = n - x.shape[axis]
+        if pad <= 0:
+            return x
+        w = [(0, 0)] * x.ndim
+        w[axis] = (0, pad)
+        return jnp.pad(x, w, constant_values=value)
+
+    svT = padx(nbr_s.astype(jnp.float32).T, Ap, 1)           # [B, Ap]
+    vmT = (svT > 0).astype(jnp.float32)
+    # [A, B, 3] -> [3, B, A] -> [3*B, A]: row = c*B + b.
+    pnT = padx(
+        jnp.transpose(nbr_p.astype(jnp.float32), (2, 1, 0)).reshape(3 * B, A),
+        Ap, 1,
+    )
+    qnT = padx(
+        jnp.transpose(nbr_q.astype(jnp.float32), (2, 1, 0)).reshape(3 * B, A),
+        Ap, 1,
+    )
+
+    grid = (Ap // ta,)
+    cand, slot = pl.pallas_call(
+        functools.partial(
+            _candidate_topt_kernel,
+            compat_tau=float(compat_tau),
+            min_sep=float(min_separation),
+            num_neighbors=B,
+            top_t=top_t,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, ta), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * B, ta), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * B, ta), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, ta), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tp_p, ta), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp_p, ta), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp_p, Ap), jnp.float32),
+            jax.ShapeDtypeStruct((tp_p, Ap), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=25 * Ap * B * B + 4 * top_t * Ap * B * B,
+            bytes_accessed=Ap * B * 32 + Ap * tp_p * 8,
+            transcendentals=0,
+        ),
+    )(svT, pnT, qnT, vmT)
+    return cand[:top_t, :A].T, slot[:top_t, :A].T
 
 
 def anchor_neighbors_pallas(

@@ -209,3 +209,116 @@ def test_anchor_neighbors_pallas_candidates(prob):
     frac_flipped = edge.mean()
     assert frac_flipped < 0.01, frac_flipped
     np.testing.assert_allclose(got[~edge], ref[~edge], rtol=1e-4, atol=2e-4)
+
+
+def test_anchor_neighbors_stream_matches_single(prob):
+    """Streaming (column-blocked) top-B must reproduce the single-block
+    kernel exactly — same scores, same indices, including tie-breaks —
+    when forced through multiple column blocks (VERDICT r3 next #2)."""
+    from jax import lax
+
+    from saccot_tpu.kernels.triangles import (
+        anchor_neighbors_pallas, anchor_neighbors_stream_pallas,
+    )
+
+    P, Q = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    N = P.shape[0]
+    mask = jnp.asarray((np.arange(N) < 260).astype(np.float32))
+    A, B = 64, 10
+    deg = jcompat.degrees(P, Q, P, Q, PARAMS, mask_rows=mask, mask_cols=mask)
+    _, anchors = lax.top_k(deg, A)
+
+    ref_s, ref_i = anchor_neighbors_pallas(
+        P, Q, anchors, B, PARAMS.compat_tau, PARAMS.min_separation,
+        mask=mask, anchor_mask=mask[anchors],
+    )
+    got_s, got_i = anchor_neighbors_stream_pallas(
+        P, Q, anchors, B, PARAMS.compat_tau, PARAMS.min_separation,
+        mask=mask, anchor_mask=mask[anchors], tile_n=128,  # 3 blocks at N=300
+    )
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(ref_s))
+    # Indices agree wherever the selection is a real (score > 0) column;
+    # exhausted slots differ only in which padded column they point at.
+    real = np.asarray(ref_s) > 0
+    np.testing.assert_array_equal(
+        np.asarray(got_i)[real], np.asarray(ref_i)[real]
+    )
+
+
+def test_candidate_topt_matches_fused(prob):
+    """candidate_topt_pallas (from gathered coords) must agree with the
+    fused kernel's in-kernel top-T pre-ranking on the same selections."""
+    from jax import lax
+
+    from saccot_tpu.kernels.triangles import (
+        anchor_neighbors_pallas, candidate_topt_pallas,
+    )
+
+    P, Q = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    N = P.shape[0]
+    mask = jnp.asarray((np.arange(N) < 260).astype(np.float32))
+    A, B, T = 64, 10, 4
+    deg = jcompat.degrees(P, Q, P, Q, PARAMS, mask_rows=mask, mask_cols=mask)
+    _, anchors = lax.top_k(deg, A)
+
+    nbr_s, nbr_idx, ref_cs, ref_slot = anchor_neighbors_pallas(
+        P, Q, anchors, B, PARAMS.compat_tau, PARAMS.min_separation,
+        mask=mask, anchor_mask=mask[anchors], top_t=T,
+    )
+    got_cs, got_slot = candidate_topt_pallas(
+        nbr_s, P[nbr_idx], Q[nbr_idx], T,
+        PARAMS.compat_tau, PARAMS.min_separation,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_cs), np.asarray(ref_cs), rtol=1e-5, atol=1e-5
+    )
+    real = np.asarray(ref_cs) > 0
+    np.testing.assert_array_equal(
+        np.asarray(got_slot)[real], np.asarray(ref_slot)[real]
+    )
+
+
+def test_solve3_stream_matches_umeyama(rng):
+    """N above MAX_N_SOLVE routes through the streaming gather+cov kernel;
+    results must match the XLA gather + Horn path (VERDICT r3 next #2)."""
+    from saccot_tpu.engine.svd3 import umeyama
+    from saccot_tpu.kernels.solve3 import MAX_N_SOLVE, solve3_pallas
+
+    N = MAX_N_SOLVE + 1000  # forces the streaming path, 3 point blocks
+    prob = correspondence_problem(seed=77, n=N, outlier_ratio=0.5,
+                                  n_points=2 * N)
+    P, Q = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    K = 200
+    triples = jnp.asarray(
+        np.stack([rng.choice(N, size=3, replace=False) for _ in range(K)]),
+        jnp.int32,
+    )
+    R_ref, t_ref = umeyama(P[triples], Q[triples])
+    R_got, t_got = solve3_pallas(P, Q, triples)
+    np.testing.assert_allclose(np.asarray(R_got), np.asarray(R_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t_got), np.asarray(t_ref), atol=2e-5)
+
+
+def test_register_pair_pallas_large_n():
+    """End-to-end pallas estimator above MAX_N_FUSED (streaming pool +
+    streaming solve) must agree with the jnp path."""
+    import dataclasses
+
+    from saccot_tpu.kernels.triangles import MAX_N_FUSED
+
+    N = MAX_N_FUSED + 400
+    prob = correspondence_problem(seed=78, n=N, outlier_ratio=0.7,
+                                  n_points=2 * N)
+    P, Q = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    params = dataclasses.replace(
+        PARAMS, num_anchors=64, neighbors_per_anchor=10, max_hypotheses=256,
+        dedup_triangles=False, per_anchor_candidates=4,
+    )
+    ref = register_pair(P, Q, params)
+    got = register_pair(
+        P, Q, params, compat_impl="pallas", score_impl="pallas",
+        pool_impl="pallas", solve_impl="pallas",
+    )
+    E = np.asarray(got.T, np.float64) @ np.linalg.inv(np.asarray(ref.T, np.float64))
+    assert se3np.rotation_angle_deg(E[:3, :3]) < 0.1
+    assert abs(int(got.num_inliers) - int(ref.num_inliers)) <= 1
