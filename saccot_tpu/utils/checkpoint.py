@@ -40,19 +40,27 @@ def restore(path: str) -> Optional[Dict[str, Any]]:
 
 
 class SweepCheckpointer:
-    """Shard-granular progress tracking for long pairwise sweeps."""
+    """Shard-granular progress tracking for long pairwise sweeps.
+
+    Storage is one atomic `.npz` per shard (write-to-temp + rename) in a
+    plain directory — append-only, so a crash mid-record loses at most the
+    in-flight shard, and in a multi-process group a single writer (host 0)
+    needs no cross-process coordination. (Orbax's PyTreeCheckpointer.save
+    is itself a *collective* over the process group — a host-0-gated save
+    through it deadlocks the other processes; that is why the sweep
+    checkpoint does not use it. Orbax remains the backend for the
+    replicated SLAM state below, which every process saves identically.)
+    """
 
     def __init__(self, path: Optional[str]):
         self.path = path
         self.done: Dict[int, Dict[str, np.ndarray]] = {}
-        if path:
-            state = restore(path)
-            if state is not None:
-                self.done = {
-                    int(k.split("_", 1)[1]): v
-                    for k, v in state.items()
-                    if k.startswith("shard_")
-                }
+        if path and os.path.isdir(path):
+            for name in sorted(os.listdir(path)):
+                if name.startswith("shard_") and name.endswith(".npz"):
+                    idx = int(name[len("shard_"):-len(".npz")])
+                    with np.load(os.path.join(path, name)) as z:
+                        self.done[idx] = {k: z[k] for k in z.files}
 
     def is_done(self, shard_idx: int) -> bool:
         return shard_idx in self.done
@@ -60,7 +68,11 @@ class SweepCheckpointer:
     def record(self, shard_idx: int, results: Dict[str, np.ndarray]) -> None:
         self.done[shard_idx] = {k: np.asarray(v) for k, v in results.items()}
         if self.path:
-            save(self.path, {f"shard_{k}": v for k, v in self.done.items()})
+            os.makedirs(self.path, exist_ok=True)
+            final = os.path.join(self.path, f"shard_{shard_idx:06d}.npz")
+            tmp = final + ".tmp.npz"
+            np.savez(tmp, **self.done[shard_idx])
+            os.replace(tmp, final)
 
     def merged(self) -> Dict[str, np.ndarray]:
         """Concatenate per-shard results in shard order."""

@@ -100,6 +100,207 @@ def _worker(proc_id: int, n_proc: int, port: int) -> None:
         print("multiprocess dryrun ok", flush=True)
 
 
+def _worker_ckpt_sweep(
+    proc_id: int, n_proc: int, port: int,
+    ckpt_dir: str, out_path: str, fault_after: int,
+) -> None:
+    """Checkpointed sharded sweep worker for the kill-one-process fault
+    test (SURVEY.md section 5, failure detection; VERDICT r3 next #4).
+
+    Runs a 6-shard pair sweep over the 2-process mesh, checkpointing each
+    shard's (all-gathered, replicated) results from process 0. With
+    `fault_after >= 0`, process 1 SIGKILLs itself right after the shard
+    barrier that guarantees that shard's checkpoint is on disk — process 0
+    then dies on the next cross-process collective and the job is gone,
+    exactly like a lost host. A relaunch with the same ckpt_dir resumes
+    from the shard boundary: completed shards come from the checkpoint,
+    only the remainder is recomputed.
+    """
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from saccot_tpu.dist.mesh import init_distributed
+
+    init_distributed(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=n_proc,
+        process_id=proc_id,
+    )
+
+    import signal
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    from saccot_tpu.dist.mesh import make_mesh
+    from saccot_tpu.dist.sweep import make_sweep_fn
+    from saccot_tpu.io.synthetic import correspondence_problem
+    from saccot_tpu.utils.checkpoint import SweepCheckpointer
+    from saccot_tpu.utils.params import SacCotParams
+
+    mesh = make_mesh(pairs=4, corr=2)
+    n, B, n_shards = 64, 4, 6
+    params = SacCotParams(
+        compat_tau=0.03, min_separation=0.05, inlier_tau=0.03,
+        num_anchors=16, neighbors_per_anchor=6, max_hypotheses=32,
+        degree_block_rows=64,
+    )
+    sweep = make_sweep_fn(mesh, params)
+    # Every process reads the shared checkpoint; only process 0 writes it,
+    # so the done-shard view is consistent across the group at (re)start.
+    ckptr = SweepCheckpointer(os.path.join(ckpt_dir, "sweep"))
+    if proc_id != 0:
+        ckptr.path = None  # read-only on non-zero processes
+
+    for shard in range(n_shards):
+        if ckptr.is_done(shard):
+            print(f"proc {proc_id}: shard {shard} restored from checkpoint",
+                  flush=True)
+            continue
+        probs = [
+            correspondence_problem(seed=100 * shard + b, n=n, outlier_ratio=0.4)
+            for b in range(B)
+        ]
+        P_all = jnp.stack([jnp.asarray(p["P"]) for p in probs])
+        Q_all = jnp.stack([jnp.asarray(p["Q"]) for p in probs])
+        mask = jnp.ones((B, n), jnp.float32)
+        P_g, Q_g, m_g = multihost_utils.host_local_array_to_global_array(
+            (P_all, Q_all, mask), mesh, (P(), P(), P())
+        )
+        res = sweep(P_g, Q_g, m_g)
+        T_np = np.asarray(
+            multihost_utils.process_allgather(res.T, tiled=True), np.float64
+        )
+        ckptr.record(shard, dict(T=T_np))  # persists on proc 0 only
+        # Barrier AFTER the write: once every process passes it, the shard's
+        # checkpoint is durably on disk — the fault below cannot lose it.
+        multihost_utils.sync_global_devices(f"shard_{shard}_done")
+        print(f"proc {proc_id}: shard {shard} computed", flush=True)
+        if fault_after >= 0 and shard >= fault_after and proc_id == 1:
+            print(f"proc {proc_id}: SIGKILL self after shard {shard}",
+                  flush=True)
+            os.kill(os.getpid(), signal.SIGKILL)
+
+    multihost_utils.sync_global_devices("sweep_complete")
+    if proc_id == 0:
+        merged = ckptr.merged()["T"]
+        np.save(out_path, merged)
+        print(f"sweep complete: {merged.shape[0]} pair results", flush=True)
+
+
+def _run_group(args_per_proc, env, timeout=540):
+    """Spawn one worker per arg list; reap them, tolerating a planted kill:
+    once any worker dies, surviving workers that block on the now-broken
+    process group are killed after a grace period (the job-level failure
+    detection a cluster scheduler provides)."""
+    import time as _time
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)] + a, env=env
+        )
+        for a in args_per_proc
+    ]
+    rcs = [None] * len(procs)
+    deadline = _time.time() + timeout
+    grace_until = None
+    while any(rc is None for rc in rcs) and _time.time() < deadline:
+        for i, p in enumerate(procs):
+            if rcs[i] is None:
+                rcs[i] = p.poll()
+        if any(rc is not None for rc in rcs) and grace_until is None:
+            grace_until = _time.time() + 20.0
+        if grace_until is not None and _time.time() > grace_until:
+            for i, p in enumerate(procs):
+                if rcs[i] is None:
+                    p.kill()
+        _time.sleep(0.2)
+    for p in procs:
+        if p.poll() is None:
+            p.kill()
+        p.wait()
+    return [p.returncode for p in procs]
+
+
+def run_fault_test() -> int:
+    """Kill-one-process fault injection + resume (VERDICT r3 next #4)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    work = tempfile.mkdtemp(prefix="saccot_fault_")
+    try:
+        ck_fault = os.path.join(work, "ck_fault")
+        ck_clean = os.path.join(work, "ck_clean")
+        out_fault = os.path.join(work, "fault.npy")
+        out_clean = os.path.join(work, "clean.npy")
+
+        # Phase A: group dies after shard 2 is checkpointed (proc 1
+        # SIGKILLs itself; proc 0 is lost with the group).
+        port = _free_port()
+        rcs = _run_group(
+            [["--ckpt-proc", str(i), "2", str(port), ck_fault, out_fault, "2"]
+             for i in range(2)],
+            env,
+        )
+        print(f"phase A (faulted) exit codes: {rcs}")
+        if rcs[1] != -9:
+            print("expected proc 1 to die by SIGKILL", file=sys.stderr)
+            return 1
+        if os.path.exists(out_fault):
+            print("faulted run must not have produced final results",
+                  file=sys.stderr)
+            return 1
+
+        # Phase B: restart the group on a fresh coordinator, same ckpt dir.
+        port = _free_port()
+        rcs = _run_group(
+            [["--ckpt-proc", str(i), "2", str(port), ck_fault, out_fault, "-1"]
+             for i in range(2)],
+            env,
+        )
+        print(f"phase B (resumed) exit codes: {rcs}")
+        if any(rcs):
+            return 1
+
+        # Phase C: uninterrupted reference run.
+        port = _free_port()
+        rcs = _run_group(
+            [["--ckpt-proc", str(i), "2", str(port), ck_clean, out_clean, "-1"]
+             for i in range(2)],
+            env,
+        )
+        print(f"phase C (clean) exit codes: {rcs}")
+        if any(rcs):
+            return 1
+
+        T_fault = np.load(out_fault)
+        T_clean = np.load(out_clean)
+        if T_fault.shape != T_clean.shape or not np.allclose(
+            T_fault, T_clean, atol=1e-6
+        ):
+            print("resumed results differ from the uninterrupted run",
+                  file=sys.stderr)
+            return 1
+        print(
+            f"fault-injection test ok: killed proc 1 after shard 2, resumed "
+            f"from the shard boundary, {T_fault.shape[0]} pair results "
+            f"identical to the uninterrupted run"
+        )
+        return 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -110,6 +311,14 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--proc":
         _worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
         return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--ckpt-proc":
+        _worker_ckpt_sweep(
+            int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+            sys.argv[5], sys.argv[6], int(sys.argv[7]),
+        )
+        return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--fault-test":
+        return run_fault_test()
 
     n_proc = 2
     port = _free_port()

@@ -29,3 +29,24 @@ def test_multiprocess_dryrun():
     assert out.returncode == 0, out.stderr[-2000:]
     assert "all workers exited cleanly" in out.stdout
     assert "DPxSP sweep across the process boundary ok" in out.stdout
+
+def test_multiprocess_fault_injection():
+    """Kill-one-process fault injection (SURVEY.md section 5 failure
+    detection; VERDICT r3 next #4): a 2-process checkpointed sweep loses
+    process 1 to SIGKILL mid-sweep, the group is restarted with the same
+    checkpoint dir, and the resumed run's results are identical to an
+    uninterrupted run — restart-from-shard-boundary is the elasticity
+    mechanism."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run(
+        [sys.executable, SCRIPT, "--fault-test"],
+        capture_output=True, text=True, timeout=540, env=env,
+    )
+    if out.returncode != 0 and "UNAVAILABLE" in out.stderr:
+        pytest.skip(f"distributed coordinator unavailable: {out.stderr[-200:]}")
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+    assert "fault-injection test ok" in out.stdout
+    assert "SIGKILL self after shard 2" in out.stdout
+    assert "restored from checkpoint" in out.stdout
