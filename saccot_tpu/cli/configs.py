@@ -52,6 +52,9 @@ class RunConfig:
     # object-scale protocol). Used when use_model_rmse is set.
     use_model_rmse: bool = False
     rmse_mult: float = 5.0
+    # Fraction of the surface the two synthetic views share (pipeline
+    # configs; io/synthetic.two_view_pair).
+    overlap: float = 0.8
 
 
 _OBJ_PARAMS = SacCotParams(
@@ -75,6 +78,10 @@ CONFIGS = {
         name="u3m", kind="pipeline", seed=100, n_pairs=12, n_points=4096,
         pipeline=_PIPE, rot_thresh_deg=5.0, trans_thresh=0.05,
         use_model_rmse=True, rmse_mult=5.0,
+        # U3M views share only partial surface coverage; 0.6 makes the
+        # sweep exercise <=60%-overlap recall (VERDICT r3 next #8) instead
+        # of near-full-overlap planted pairs.
+        overlap=0.6,
     ),
     "threedmatch": RunConfig(
         name="threedmatch", kind="sweep", seed=300, n_pairs=32, n_corr=2048,

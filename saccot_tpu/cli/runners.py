@@ -40,7 +40,7 @@ def run_pipeline_config(cfg: RunConfig, log: Optional[JsonlLogger] = None) -> Di
     pipe = dataclasses.replace(cfg.pipeline, impl=_impls(cfg)["compat_impl"])
     for p in range(cfg.n_pairs):
         pair = two_view_pair(seed=cfg.seed + p, n_points=cfg.n_points,
-                             overlap=0.8, noise=0.002)
+                             overlap=cfg.overlap, noise=0.002)
         t0 = time.time()
         res = register_clouds(
             jnp.asarray(pair["source"]), jnp.asarray(pair["target"]), pipe
@@ -66,6 +66,7 @@ def run_pipeline_config(cfg: RunConfig, log: Optional[JsonlLogger] = None) -> Di
                          num_inliers=int(res.registration.num_inliers)))
     return dict(
         config=cfg.name, pairs=cfg.n_pairs, recall=ok / cfg.n_pairs,
+        overlap=cfg.overlap,
         mean_rot_err_deg=float(np.mean(rot_errs)),
         mean_trans_err=float(np.mean(trans_errs)),
         mean_wall_s=float(np.mean(times[1:])) if len(times) > 1 else times[0],

@@ -75,15 +75,34 @@ def _residuals(poses, landmarks, prob: BAProblem):
     return r, R
 
 
-def ba_cost(poses, landmarks, prob: BAProblem, axis_name=None):
+def ba_cost(poses, landmarks, prob: BAProblem, axis_name=None,
+            robust_delta: Optional[float] = None):
+    """Total (optionally Huber-robustified) weighted squared residual.
+
+    With robust_delta set, per-observation cost is rho(|r|) = |r|^2 below
+    delta and 2*delta*|r| - delta^2 above — the loss whose IRLS weight is
+    min(1, delta/|r|) (see bundle_adjust). Track association at high
+    outlier rates inevitably admits some contaminated tracks; the linear
+    tail stops them from steering the solve.
+    """
     r, _ = _residuals(poses, landmarks, prob)
-    c = jnp.sum(prob.obs_w * jnp.sum(r * r, axis=-1))
+    d2 = jnp.sum(r * r, axis=-1)
+    if robust_delta is not None:
+        d = jnp.sqrt(jnp.maximum(d2, 1e-24))
+        rho = jnp.where(
+            d <= robust_delta, d2,
+            2.0 * robust_delta * d - robust_delta * robust_delta,
+        )
+    else:
+        rho = d2
+    c = jnp.sum(prob.obs_w * rho)
     if axis_name is not None:
         c = lax.psum(c, axis_name)
     return c
 
 
-def _gn_system(poses, landmarks, prob: BAProblem, num_poses: int, lm_damping: float):
+def _gn_system(poses, landmarks, prob: BAProblem, num_poses: int,
+               lm_damping: float, robust_delta: Optional[float] = None):
     """One device's contribution to the reduced camera system, block form.
 
     Returns (Hpp [M, 6, 6] block-diagonal pose Hessian, b_red [M, 6] reduced
@@ -95,6 +114,12 @@ def _gn_system(poses, landmarks, prob: BAProblem, num_poses: int, lm_damping: fl
     M = num_poses
     r, R = _residuals(poses, landmarks, prob)  # [L,G,3], [L,G,3,3]
     w = prob.obs_w  # [L, G]
+    if robust_delta is not None:
+        # Huber IRLS: observations past delta get weight delta/|r| — fixed
+        # within the iteration, so the exact landmark elimination below
+        # stays valid.
+        d = jnp.sqrt(jnp.maximum(jnp.sum(r * r, axis=-1), 1e-24))
+        w = w * jnp.minimum(1.0, robust_delta / d)
 
     # Pose Jacobian A = [R | -R [z]x]  -> [L, G, 3, 6]
     zhat = se3.hat(prob.obs_z)  # [L, G, 3, 3]
@@ -167,6 +192,7 @@ def bundle_adjust(
     cg_iters: int = 64,
     cg_tol: float = 1e-6,
     lam0: Optional[jnp.ndarray] = None,
+    robust_delta: Optional[float] = None,
 ) -> BAResult:
     """Fixed-iteration Schur GN + matrix-free PCG; landmark-sharded when
     axis_name is set.
@@ -178,14 +204,15 @@ def bundle_adjust(
     frontend.run_sequence's chunked-BA resume path.
     """
     M = prob.poses.shape[0]
-    initial_cost = ba_cost(prob.poses, prob.landmarks, prob, axis_name)
+    initial_cost = ba_cost(prob.poses, prob.landmarks, prob, axis_name,
+                           robust_delta)
     free = (jnp.arange(M) >= 1).astype(prob.poses.dtype)[:, None]  # [M, 1]
     eye6 = jnp.eye(6, dtype=prob.poses.dtype)
 
     def gn_step(state, _):
         poses, landmarks, cost, lam = state  # cost of current iterate, carried
         Hpp, b_red, Fdiag, Hll_inv, bl, W = _gn_system(
-            poses, landmarks, prob, M, lm_damping
+            poses, landmarks, prob, M, lm_damping, robust_delta
         )
         Sdiag = Hpp - Fdiag
         if axis_name is not None:
@@ -222,7 +249,8 @@ def bundle_adjust(
         # Monotonicity guard (cost is global under sharding, so the accept
         # decision is identical on every device). LM schedule: rejected
         # steps retry 10x more damped instead of deadlocking.
-        new_cost = ba_cost(new_poses, new_landmarks, prob, axis_name)
+        new_cost = ba_cost(new_poses, new_landmarks, prob, axis_name,
+                           robust_delta)
         better = new_cost <= cost
         poses = jnp.where(better, new_poses, poses)
         landmarks = jnp.where(better, new_landmarks, landmarks)

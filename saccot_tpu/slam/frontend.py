@@ -26,6 +26,12 @@ from typing import Dict, NamedTuple, Optional, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax as _lax
+
+# f32-accurate contractions: TPU's default f32 einsum runs bf16 MXU
+# passes, whose ~8-bit mantissa is too coarse for normal-equation /
+# information-matrix algebra (see slam/se3.py).
+_es = functools.partial(jnp.einsum, precision=_lax.Precision.HIGHEST)
 
 from saccot_tpu.engine.sac_cot import RegistrationResult, register_batch
 from saccot_tpu.slam import se3
@@ -77,14 +83,14 @@ def edge_information(
     w = reg.inliers.astype(jnp.float32)  # [E, N]
 
     # Residuals under the estimated transforms (for sigma^2).
-    x = jnp.einsum("eij,enj->eni", reg.R, P) + reg.t[:, None, :] - Q
+    x = _es("eij,enj->eni", reg.R, P) + reg.t[:, None, :] - Q
     d2 = jnp.sum(x * x, axis=-1)                       # [E, N]
     S0 = jnp.sum(w, axis=-1)                           # [E]
     sigma2 = jnp.sum(w * d2, axis=-1) / (3.0 * jnp.maximum(S0, 1.0))
     sigma2 = jnp.maximum(sigma2, sigma_floor**2)       # [E]
 
-    S1 = jnp.einsum("en,eni->ei", w, P)                # [E, 3]
-    S2 = jnp.einsum("en,eni,enj->eij", w, P, P)        # [E, 3, 3]
+    S1 = _es("en,eni->ei", w, P)                # [E, 3]
+    S2 = _es("en,eni,enj->eij", w, P, P)        # [E, 3, 3]
     eye3 = jnp.eye(3, dtype=P.dtype)
 
     def hat(v):
@@ -398,6 +404,10 @@ def run_sequence(
     if run_ba:
         if merge_cell is None:
             merge_cell = 3.0 * float(params.inlier_tau)
+        # Huber gate at the estimator's inlier threshold: tracks assembled
+        # from false-inlier correspondences carry residuals past tau and get
+        # linear-tail down-weighting instead of steering the solve.
+        ba_robust = float(params.inlier_tau)
         prob, ba_stats = correspondences_to_ba(
             pgo.poses, edges, edge_P, edge_Q, np.asarray(reg.inliers),
             max_landmarks=max_landmarks, obs_per_landmark=obs_per_landmark,
@@ -424,7 +434,8 @@ def run_sequence(
         while done < ba_iters:
             chunk = (ba_iters - done if ba_ckpt_every <= 0
                      else min(ba_ckpt_every, ba_iters - done))
-            ba_res = bundle_adjust(prob, iters=chunk, lam0=lam)
+            ba_res = bundle_adjust(prob, iters=chunk, lam0=lam,
+                                   robust_delta=ba_robust)
             prob = prob._replace(poses=ba_res.poses,
                                  landmarks=ba_res.landmarks)
             lam = ba_res.lam

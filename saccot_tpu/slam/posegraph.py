@@ -24,6 +24,12 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax as _lax
+
+# f32-accurate contractions: TPU's default f32 einsum runs bf16 MXU
+# passes, whose ~8-bit mantissa is too coarse for normal-equation /
+# information-matrix algebra (see slam/se3.py).
+_es = functools.partial(jnp.einsum, precision=_lax.Precision.HIGHEST)
 
 from saccot_tpu.slam import se3
 
@@ -60,7 +66,7 @@ def _edge_jacobians(T_i, T_j, Z_ij):
 def _edge_sq_error(r, graph: PoseGraph):
     """Per-edge weighted squared error s_e = r^T L r (or w |r|^2)."""
     if graph.info is not None:
-        return jnp.einsum("ea,eab,eb->e", r, graph.info, r)
+        return _es("ea,eab,eb->e", r, graph.info, r)
     return graph.weight * jnp.sum(r * r, axis=-1)
 
 
@@ -125,21 +131,21 @@ def _assemble_normal_system(
 
     if graph.info is not None:
         L = graph.info * omega[:, None, None]  # [E, 6, 6]
-        LJ_i = jnp.einsum("eab,ebc->eac", L, J_i)
-        LJ_j = jnp.einsum("eab,ebc->eac", L, J_j)
-        Lr = jnp.einsum("eab,eb->ea", L, r)
+        LJ_i = _es("eab,ebc->eac", L, J_i)
+        LJ_j = _es("eab,ebc->eac", L, J_j)
+        Lr = _es("eab,eb->ea", L, r)
     else:
         w = (graph.weight * omega)[:, None, None]
         LJ_i, LJ_j = w * J_i, w * J_j
         Lr = (graph.weight * omega)[:, None] * r
 
     # Block contributions: H[ii] += Ji^T L Ji, H[ij] += Ji^T L Jj, etc.
-    Hii = jnp.einsum("eba,ebc->eac", J_i, LJ_i)
-    Hij = jnp.einsum("eba,ebc->eac", J_i, LJ_j)
+    Hii = _es("eba,ebc->eac", J_i, LJ_i)
+    Hij = _es("eba,ebc->eac", J_i, LJ_j)
     Hji = jnp.swapaxes(Hij, -1, -2)
-    Hjj = jnp.einsum("eba,ebc->eac", J_j, LJ_j)
-    bi = jnp.einsum("eba,eb->ea", J_i, Lr)
-    bj = jnp.einsum("eba,eb->ea", J_j, Lr)
+    Hjj = _es("eba,ebc->eac", J_j, LJ_j)
+    bi = _es("eba,eb->ea", J_i, Lr)
+    bj = _es("eba,eb->ea", J_j, Lr)
 
     # Scatter blocks into the dense system via linear segment ids.
     ei, ej = graph.edge_i, graph.edge_j

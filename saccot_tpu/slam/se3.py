@@ -9,8 +9,24 @@ autodiff of these).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+# Pose algebra must NOT run at TPU default matmul precision: XLA lowers f32
+# dot/einsum to bfloat16 MXU passes by default, which rounds composed
+# rotation entries to ~8 mantissa bits (~4e-3 relative). That error is
+# larger than a near-converged SLAM solve's residuals, so every GN step
+# "increases" the true cost and the LM guard rejects it (observed on-chip:
+# BA frozen at its initial cost until this was pinned). All products here
+# are tiny 3x3/4x4 contractions — HIGHEST costs nothing measurable.
+_es = functools.partial(jnp.einsum, precision=lax.Precision.HIGHEST)
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
 
 # Taylor-guard threshold on theta^2. Must be large for float32: the closed
 # forms cancel catastrophically long before they overflow — (1 - cos t)
@@ -59,7 +75,7 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     W = hat(w)
     A, B, _ = _sinc_coeffs(theta2)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return I + A * W + B * (W @ W)
+    return I + A * W + B * _mm(W, W)
 
 
 def log_so3(R: jnp.ndarray) -> jnp.ndarray:
@@ -112,9 +128,9 @@ def exp_se3(xi: jnp.ndarray) -> jnp.ndarray:
     W = hat(w)
     A, B, C = _sinc_coeffs(theta2)
     I = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
-    R = I + A * W + B * (W @ W)
-    V = I + B * W + C * (W @ W)
-    t = jnp.einsum("...ij,...j->...i", V, v)
+    R = I + A * W + B * _mm(W, W)
+    V = I + B * W + C * _mm(W, W)
+    t = _es("...ij,...j->...i", V, v)
     return pack(R, t)
 
 
@@ -131,8 +147,8 @@ def log_se3(T: jnp.ndarray) -> jnp.ndarray:
     small = theta2 < _EPS
     t2 = jnp.where(small, 1.0, theta2)
     coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, (1.0 - A / (2.0 * B)) / t2)
-    Vinv = I - 0.5 * W + coef * (W @ W)
-    v = jnp.einsum("...ij,...j->...i", Vinv, t)
+    Vinv = I - 0.5 * W + coef * _mm(W, W)
+    v = _es("...ij,...j->...i", Vinv, t)
     return jnp.concatenate([v, w], axis=-1)
 
 
@@ -148,15 +164,15 @@ def inv(T: jnp.ndarray) -> jnp.ndarray:
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     Rt = jnp.swapaxes(R, -1, -2)
-    return pack(Rt, -jnp.einsum("...ij,...j->...i", Rt, t))
+    return pack(Rt, -_es("...ij,...j->...i", Rt, t))
 
 
 def compose(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
-    return jnp.einsum("...ij,...jk->...ik", A, B)
+    return _es("...ij,...jk->...ik", A, B)
 
 
 def apply(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """[..., 4, 4] x [..., N, 3] -> [..., N, 3]."""
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    return jnp.einsum("...ij,...nj->...ni", R, pts) + t[..., None, :]
+    return _es("...ij,...nj->...ni", R, pts) + t[..., None, :]
