@@ -184,16 +184,21 @@ def main():
             return jnp.max(jnp.where(pool.valid, scores, -1.0))
         return jax.jit(lambda a, b, m: jax.vmap(one)(a, b, m))
 
-    stage_reps = 24
+    stage_reps = 32
 
     def timed_ms(fns):
+        # Min of two passes: the host barrier's tunnel latency varies
+        # run-to-run and the stage deltas are fractions of a millisecond.
         out = fns(P_all, Q_all, mask1)
         _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
-        t0 = time.time()
-        for _ in range(stage_reps):
-            out = fns(P_all, Q_all, mask1)
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
-        return (time.time() - t0) / stage_reps * 1e3
+        best = float("inf")
+        for _pass in range(2):
+            t0 = time.time()
+            for _ in range(stage_reps):
+                out = fns(P_all, Q_all, mask1)
+            _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+            best = min(best, (time.time() - t0) / stage_reps * 1e3)
+        return best
 
     # Null-program floor: dispatch + the amortized host barrier, subtracted
     # from every prefix so stage deltas are on-chip time.
