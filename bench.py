@@ -49,7 +49,10 @@ def main():
     from saccot_tpu.utils.params import SacCotParams
 
     N = 1000
-    BATCH = 64  # measured throughput peak on v5e (r3: B=64 > B=32/96)
+    # Measured throughput peak on v5e: the r4 in-kernel id decode shrank
+    # per-batch XLA work, moving the peak from B=64 to B=128
+    # (64: 12.1k, 96: 12.6k, 128: 12.8k, 192: 12.5k, 256: 12.2k pairs/s).
+    BATCH = 128
     OUTLIER = 0.8
     params = SacCotParams(
         compat_tau=0.03,
@@ -162,8 +165,8 @@ def main():
     from saccot_tpu.engine import score as score_mod
     from saccot_tpu.engine.svd3 import umeyama
     from saccot_tpu.kernels.compat import degrees_pallas
-    from saccot_tpu.kernels.score import score_hypotheses_pallas
-    from saccot_tpu.kernels.solve3 import solve3_pallas
+    from saccot_tpu.kernels.score import score_hypotheses_pallas_soa
+    from saccot_tpu.kernels.solve3 import solve3_pallas_soa
 
     mask1 = jnp.ones((BATCH, N), jnp.float32)
 
@@ -176,11 +179,11 @@ def main():
                 p, q, deg, params, mask=m, impl="pallas")
             if stage == 2:
                 return jnp.sum(pool.scores) + jnp.sum(pool.triples)
-            R, t = solve3_pallas(p, q, pool.triples)
+            r9, t3 = solve3_pallas_soa(p, q, pool.triples)
             if stage == 3:
-                return jnp.sum(R) + jnp.sum(t)
-            scores, _ = score_hypotheses_pallas(
-                R, t, p, q, params.inlier_tau, mask=m)
+                return jnp.sum(r9) + jnp.sum(t3)
+            scores, _ = score_hypotheses_pallas_soa(
+                r9, t3, p, q, params.inlier_tau, mask=m)
             return jnp.max(jnp.where(pool.valid, scores, -1.0))
         return jax.jit(lambda a, b, m: jax.vmap(one)(a, b, m))
 

@@ -127,8 +127,14 @@ def _register_pair(
     else:
         triples, hyp_valid = pool.triples, pool.valid
 
+    use_soa = (
+        solve_impl == "pallas" and score_impl == "pallas"
+    )
     with jax.named_scope("saccot_svd3"):
-        from saccot_tpu.kernels.solve3 import MAX_N_SOLVE, solve3_pallas
+        from saccot_tpu.kernels.solve3 import (
+            MAX_N_SOLVE, solve3_pallas, solve3_pallas_soa,
+        )
+        r9 = t3 = None
         if solve_impl == "pallas" and P_full.shape[0] <= MAX_N_SOLVE:
             # Fused gather + Horn solve; ~5x over the XLA gather + SoA
             # iteration at the bench operating point (same quaternion core).
@@ -138,19 +144,36 @@ def _register_pair(
             # the XLA gather at N=50k/K=2048 (scripts/exp_kitti_stages.py,
             # r4) — the gather cost scales with rows gathered (3K), not N,
             # so XLA is the right tool there. Routed accordingly.
-            R, t = solve3_pallas(P_full, Q_full, triples)
+            if use_soa:
+                # SoA end to end: the solve's native [9, K]/[3, K] layout
+                # feeds the scoring kernel directly — no [K, 9] relayout.
+                r9, t3 = solve3_pallas_soa(P_full, Q_full, triples)
+            else:
+                R, t = solve3_pallas(P_full, Q_full, triples)
         else:
             tp = P_full[triples]  # [K, 3, 3]
             tq = Q_full[triples]
             R, t = umeyama(tp, tq)
+            if use_soa:
+                K_ = triples.shape[0]
+                r9 = R.reshape(K_, 9).T
+                t3 = t.T
 
     with jax.named_scope("saccot_score"):
         if score_impl == "pallas":
-            from saccot_tpu.kernels.score import score_hypotheses_pallas
-            scores, counts = score_hypotheses_pallas(
-                R, t, P, Q, params.inlier_tau, mask=m, mode=params.scoring,
-                axis_name=corr_axis,
+            from saccot_tpu.kernels.score import (
+                score_hypotheses_pallas, score_hypotheses_pallas_soa,
             )
+            if use_soa:
+                scores, counts = score_hypotheses_pallas_soa(
+                    r9, t3, P, Q, params.inlier_tau, mask=m,
+                    mode=params.scoring, axis_name=corr_axis,
+                )
+            else:
+                scores, counts = score_hypotheses_pallas(
+                    R, t, P, Q, params.inlier_tau, mask=m, mode=params.scoring,
+                    axis_name=corr_axis,
+                )
         else:
             scores, counts = score_mod.score_hypotheses(
                 R, t, P, Q, params.inlier_tau, mask=m, mode=params.scoring,
@@ -159,7 +182,12 @@ def _register_pair(
         scores = jnp.where(hyp_valid, scores, -1.0)
         best = jnp.argmax(scores)
         best_score = scores[best]
-        Rb, tb = R[best], t[best]
+        if use_soa:
+            # Champion extraction from SoA: two tiny lane gathers.
+            Rb = r9[:, best].reshape(3, 3)
+            tb = t3[:, best]
+        else:
+            Rb, tb = R[best], t[best]
         if hyp_axis is not None:
             # Global best across hypothesis shards: gather each shard's
             # champion (tiny: d_h scalars + transforms) and argmax. Shards

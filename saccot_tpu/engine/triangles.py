@@ -122,14 +122,14 @@ def triangle_pool_from_points(
                 # Fastest path: the kernel pre-reduces each anchor to its
                 # top-T candidates on-chip; XLA only runs the A*T -> K
                 # selection and K-element index gathers.
-                nbr_s, nbr_idx, cand_s, cand_slot = anchor_neighbors_pallas(
+                nbr_s, nbr_idx, cand_s, cand_j, cand_k = anchor_neighbors_pallas(
                     P, Q, anchors, B, params.compat_tau, params.min_separation,
                     mask=mask,
                     anchor_mask=None if mask is None else mask[anchors],
                     top_t=min(params.per_anchor_candidates, B * (B - 1) // 2),
                 )
                 return _pool_from_preranked(
-                    anchors, nbr_idx, cand_s, cand_slot, params
+                    anchors, cand_s, cand_j, cand_k, params
                 )
             # Fully fused: the kernel emits the candidate triangle scores
             # directly (selected-neighbor coords never leave the chip), so
@@ -163,11 +163,11 @@ def triangle_pool_from_points(
         )
         if params.per_anchor_candidates > 0:
             T = min(params.per_anchor_candidates, B * (B - 1) // 2)
-            cand_s, cand_slot = candidate_topt_pallas(
-                nbr_s, P[nbr_idx], Q[nbr_idx], T,
+            cand_s, cand_j, cand_k = candidate_topt_pallas(
+                nbr_s, nbr_idx, P[nbr_idx], Q[nbr_idx], T,
                 params.compat_tau, params.min_separation,
             )
-            return _pool_from_preranked(anchors, nbr_idx, cand_s, cand_slot, params)
+            return _pool_from_preranked(anchors, cand_s, cand_j, cand_k, params)
         return _pool_from_neighbors(anchors, nbr_s, nbr_idx, P, Q, params)
     rows = compat_mod.score_block(
         P[anchors], Q[anchors], P, Q, params,
@@ -349,14 +349,18 @@ def _rank_candidates(
 
 def _pool_from_preranked(
     anchors: jnp.ndarray,    # [A] anchor node ids
-    nbr_idx: jnp.ndarray,    # [A, B] per-anchor neighbor node ids
     cand_s: jnp.ndarray,     # [A, T] per-anchor top-T candidate scores
-    cand_slot: jnp.ndarray,  # [A, T] int32 flat b1*B+b2 pair slots
+    cand_j: jnp.ndarray,     # [A, T] int32 global node id of neighbor b1
+    cand_k: jnp.ndarray,     # [A, T] int32 global node id of neighbor b2
     params: SacCotParams,
 ) -> TrianglePool:
-    """Global top-K over kernel-preranked per-anchor candidates."""
+    """Global top-K over kernel-preranked per-anchor candidates.
+
+    The kernel decodes neighbor ids on-chip (r4), so this assembly is pure
+    reshape/repeat work in the identity regime — the previous slot->id
+    decode cost two [K]-element 2D gathers in XLA, measured at 1.7 of the
+    pool stage's 4.5 ms/batch at the bench point."""
     A, T = cand_s.shape
-    B = nbr_idx.shape[1]
     K = params.max_hypotheses
     flat_s = cand_s.reshape(-1)
     k_sel = min(K, flat_s.shape[0])
@@ -366,21 +370,21 @@ def _pool_from_preranked(
         # Downstream only argmaxes over hypothesis scores, so order is
         # irrelevant.
         top_s = flat_s
-        a = jnp.arange(A * T, dtype=jnp.int32) // T
-        slot = cand_slot.reshape(-1)
+        i = jnp.repeat(anchors.astype(jnp.int32), T)
+        j = cand_j.reshape(-1)
+        k = cand_k.reshape(-1)
     elif params.approx_topk:
         top_s, top_i = lax.approx_max_k(flat_s, k_sel)
         a = (top_i // T).astype(jnp.int32)
-        slot = cand_slot.reshape(-1)[top_i]
+        i = anchors[a]
+        j = cand_j.reshape(-1)[top_i]
+        k = cand_k.reshape(-1)[top_i]
     else:
         top_s, top_i = lax.top_k(flat_s, k_sel)
         a = (top_i // T).astype(jnp.int32)
-        slot = cand_slot.reshape(-1)[top_i]
-    b1 = slot // B
-    b2 = slot % B
-    i = anchors[a]
-    j = nbr_idx[a, b1]
-    k = nbr_idx[a, b2]
+        i = anchors[a]
+        j = cand_j.reshape(-1)[top_i]
+        k = cand_k.reshape(-1)[top_i]
     triples = jnp.stack([i, j, k], axis=-1).astype(jnp.int32)
     if top_s.shape[0] < K:  # pad to the static budget
         pad = K - top_s.shape[0]

@@ -79,11 +79,33 @@ def score_hypotheses_pallas(
     axis_name: Optional[str] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in replacement for engine.score.score_hypotheses."""
+    """Drop-in replacement for engine.score.score_hypotheses (AoS R/t)."""
+    K = R.shape[0]
+    return score_hypotheses_pallas_soa(
+        R.astype(jnp.float32).reshape(K, 9).T, t.astype(jnp.float32).T,
+        P, Q, tau, mask=mask, mode=mode, axis_name=axis_name,
+        interpret=interpret,
+    )
+
+
+def score_hypotheses_pallas_soa(
+    r9: jnp.ndarray,
+    t3: jnp.ndarray,
+    P: jnp.ndarray,
+    Q: jnp.ndarray,
+    tau: float,
+    mask: Optional[jnp.ndarray] = None,
+    mode: str = "count",
+    axis_name: Optional[str] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SoA entry: rotations [9, K] row-major, translations [3, K] — the
+    solve kernel's native output layout (kernels/solve3.solve3_pallas_soa),
+    so the solve->score pair composes with no [K, 9] relayout."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    K = R.shape[0]
+    K = r9.shape[1]
     N = P.shape[0]
     tk = min(TILE_K, max(128, K))
     tn = min(TILE_N, max(128, N))
@@ -99,8 +121,8 @@ def score_hypotheses_pallas(
         return jnp.pad(x, w)
 
     m = jnp.ones((N,), jnp.float32) if mask is None else mask.astype(jnp.float32)
-    r9 = padx(R.astype(jnp.float32).reshape(K, 9).T, Kp, 1)   # [9, Kp]
-    t3 = padx(t.astype(jnp.float32).T, Kp, 1)                 # [3, Kp]
+    r9 = padx(r9.astype(jnp.float32), Kp, 1)                  # [9, Kp]
+    t3 = padx(t3.astype(jnp.float32), Kp, 1)                  # [3, Kp]
     pT = padx(P.astype(jnp.float32).T, Np, 1)
     qT = padx(Q.astype(jnp.float32).T, Np, 1)
     mp = padx(m[None, :], Np, 1)

@@ -194,16 +194,20 @@ def _solve3_stream(pT, qT, triT, N, K, Kp, tk, interpret):
     )(pT, qT, triT)
 
 
-def solve3_pallas(
+def solve3_pallas_soa(
     P: jnp.ndarray,
     Q: jnp.ndarray,
     triples: jnp.ndarray,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched 3-point rigid solves: (P, Q [N, 3], triples [K, 3]) -> R, t.
+    """SoA variant: (P, Q [N, 3], triples [K, 3]) -> (r9 [9, K], t3 [3, K]).
 
-    Drop-in for `umeyama(P[triples], Q[triples])` (uniform weights): same
-    quaternion iteration, fused gather. R: [K, 3, 3], t: [K, 3].
+    r9 rows are the row-major rotation entries — exactly the layout the
+    scoring kernel consumes (kernels/score.py), so the pallas solve+score
+    pair composes with ZERO relayout: the r3/r4 AoS interface cost two
+    full [K, 9] lane<->sublane transposes per pair (solve assembled
+    [K, 3, 3] from its native SoA output, scoring immediately transposed
+    it back).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -218,14 +222,46 @@ def solve3_pallas(
         qT = Q.astype(jnp.float32).T
         triT = jnp.pad(triples.astype(jnp.int32).T, ((0, 0), (0, Kp - K)))
         h9, pb3, qb3 = _solve3_stream(pT, qT, triT, N, K, Kp, tk, interpret)
-        qv = quaternion_from_cross_covariance(*(h9[c, :K] for c in range(9)))
-        r = rotation_entries_from_quaternion(*qv)
-        R = jnp.stack(r, axis=0).T.reshape(K, 3, 3)
-        pbar = pb3[:, :K].T
-        qbar = qb3[:, :K].T
-        t = qbar - jnp.einsum("kij,kj->ki", R, pbar)
-        return R, t
+    else:
+        h9, pb3, qb3 = _solve3_single(P, Q, triples, N, K, interpret)
 
+    qv = quaternion_from_cross_covariance(*(h9[c, :K] for c in range(9)))
+    r = rotation_entries_from_quaternion(*qv)          # 9 x [K]
+    r9 = jnp.stack(r, axis=0)                          # [9, K]
+    pb = pb3[:, :K]
+    qb = qb3[:, :K]
+    t3 = jnp.stack(
+        [
+            qb[c]
+            - (r[3 * c + 0] * pb[0] + r[3 * c + 1] * pb[1]
+               + r[3 * c + 2] * pb[2])
+            for c in range(3)
+        ],
+        axis=0,
+    )                                                  # [3, K]
+    return r9, t3
+
+
+def solve3_pallas(
+    P: jnp.ndarray,
+    Q: jnp.ndarray,
+    triples: jnp.ndarray,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched 3-point rigid solves: (P, Q [N, 3], triples [K, 3]) -> R, t.
+
+    Drop-in for `umeyama(P[triples], Q[triples])` (uniform weights): same
+    quaternion iteration, fused gather. R: [K, 3, 3], t: [K, 3]. Prefer
+    `solve3_pallas_soa` when the consumer is the SoA scoring kernel.
+    """
+    K = triples.shape[0]
+    r9, t3 = solve3_pallas_soa(P, Q, triples, interpret=interpret)
+    R = r9.T.reshape(K, 3, 3)
+    return R, t3.T
+
+
+def _solve3_single(P, Q, triples, N, K, interpret):
+    """Single-block gather+cov pallas_call (N <= MAX_N_SOLVE)."""
     Np = -(-N // 128) * 128
     # The [Np, 3*TK] one-hot tile is the kernel's dominant VMEM allocation;
     # cap it at ~3 MB so the scoped-VMEM budget (16 MB on v5e) holds at any
@@ -266,14 +302,7 @@ def solve3_pallas(
             transcendentals=0,
         ),
     )(pT, qT, triT)
-
-    # Quaternion iteration + rotation assembly in XLA: the [K]-lane SoA
-    # arrays land on full (8, 128) VPU tiles (and batch via vmap for free),
-    # unlike the kernel's [1, TK] rows.
-    qv = quaternion_from_cross_covariance(*(h9[c, :K] for c in range(9)))
-    r = rotation_entries_from_quaternion(*qv)          # 9 x [K]
-    R = jnp.stack(r, axis=0).T.reshape(K, 3, 3)
-    pbar = pb3[:, :K].T                                # [K, 3]
-    qbar = qb3[:, :K].T
-    t = qbar - jnp.einsum("kij,kj->ki", R, pbar)
-    return R, t
+    # Quaternion iteration + rotation assembly happen in the SoA wrapper:
+    # the [K]-lane SoA arrays land on full (8, 128) VPU tiles (and batch
+    # via vmap for free), unlike the kernel's [1, TK] rows.
+    return h9, pb3, qb3

@@ -50,7 +50,8 @@ def _anchor_topb_kernel(
     s_out,     # VMEM [B, TA] neighbor scores, descending per anchor
     i_out,     # VMEM [B, TA] neighbor column indices
     cand_out,  # VMEM [PAIRSp|Tp, TA] candidate scores (or None)
-    slot_out,  # VMEM [Tp, TA] int32 flat b1*B+b2 pair slots (top_t>0 only)
+    ji_out,    # VMEM [Tp, TA] int32 global node id of neighbor b1 (top_t>0)
+    ki_out,    # VMEM [Tp, TA] int32 global node id of neighbor b2 (top_t>0)
     *,
     compat_tau: float,
     min_sep: float,
@@ -166,21 +167,35 @@ def _anchor_topb_kernel(
         return
 
     # Per-anchor top-T pre-reduction: T argmax sweeps over the [B, B]
-    # candidate grid per anchor lane; emits (score, flat b1*B+b2 slot).
+    # candidate grid per anchor lane. Emits (score, global node id of each
+    # selected neighbor pair): the b1/b2 -> node-id decode happens here as
+    # two B-row masked reductions per sweep — in XLA it was two [K]-element
+    # 2D gathers per pool, the single most expensive piece of the whole
+    # pool stage (1.7 of 4.5 ms/batch at the bench point, r4 split).
     pair_id = r1 * B + r2                                        # [B, B, TA]
+    idx_mat = jnp.stack(idxs, axis=0)                            # [B, TA]
+    rowb = jax.lax.broadcasted_iota(jnp.int32, (B, ta), 0)
     Sc = cand3
     for t in range(top_t):
         vmax = jnp.max(Sc, axis=(0, 1))                          # [TA]
         hit = Sc == vmax[None, None, :]
         slot = jnp.min(jnp.where(hit, pair_id, B * B), axis=(0, 1)).astype(jnp.int32)
         # Exhausted anchors yield vmax=-inf / degenerate slots; clamp to the
-        # plain invalid form (-1 score, slot 0 -> j == k, discarded anyway).
+        # plain invalid form (-1 score; the decoded ids of slot B*B-1 give
+        # j == k, discarded downstream anyway).
+        slot = jnp.minimum(slot, B * B - 1)
+        b1 = slot // B
+        b2 = slot % B
         cand_out[t, :] = jnp.maximum(vmax, -1.0)
-        slot_out[t, :] = jnp.minimum(slot, B * B - 1)
+        ji_out[t, :] = jnp.sum(
+            jnp.where(rowb == b1[None, :], idx_mat, 0), axis=0)
+        ki_out[t, :] = jnp.sum(
+            jnp.where(rowb == b2[None, :], idx_mat, 0), axis=0)
         Sc = jnp.where(pair_id == slot[None, None, :], -jnp.inf, Sc)
     for t in range(top_t, cand_out.shape[0]):
         cand_out[t, :] = jnp.full((ta,), -1.0, jnp.float32)
-        slot_out[t, :] = jnp.zeros((ta,), jnp.int32)
+        ji_out[t, :] = jnp.zeros((ta,), jnp.int32)
+        ki_out[t, :] = jnp.zeros((ta,), jnp.int32)
 
 
 def _anchor_topb_stream_kernel(
@@ -362,11 +377,13 @@ def anchor_neighbors_stream_pallas(
 
 def _candidate_topt_kernel(
     sv_ref,    # VMEM [B, TA] per-anchor neighbor scores (descending)
+    ni_ref,    # VMEM [B, TA] int32 neighbor global node ids
     pn_ref,    # VMEM [3*B, TA] neighbor source coords, row = c*B + b
     qn_ref,    # VMEM [3*B, TA] neighbor target coords
     vm_ref,    # VMEM [B, TA] neighbor validity (1 = real selection)
     cand_out,  # VMEM [Tp, TA] top-T candidate scores
-    slot_out,  # VMEM [Tp, TA] flat b1*B+b2 pair slots
+    ji_out,    # VMEM [Tp, TA] int32 global node id of neighbor b1
+    ki_out,    # VMEM [Tp, TA] int32 global node id of neighbor b2
     *,
     compat_tau: float,
     min_sep: float,
@@ -407,31 +424,42 @@ def _candidate_topt_kernel(
     Sc = jnp.where(valid3, score3, -1.0)
 
     pair_id = r1 * B + r2
+    idx_mat = ni_ref[...]                                # [B, TA]
+    rowb = jax.lax.broadcasted_iota(jnp.int32, (B, ta), 0)
     for t in range(top_t):
         vmax = jnp.max(Sc, axis=(0, 1))
         hit = Sc == vmax[None, None, :]
         slot = jnp.min(jnp.where(hit, pair_id, B * B), axis=(0, 1)).astype(jnp.int32)
+        slot = jnp.minimum(slot, B * B - 1)
+        b1 = slot // B
+        b2 = slot % B
         cand_out[t, :] = jnp.maximum(vmax, -1.0)
-        slot_out[t, :] = jnp.minimum(slot, B * B - 1)
+        ji_out[t, :] = jnp.sum(
+            jnp.where(rowb == b1[None, :], idx_mat, 0), axis=0)
+        ki_out[t, :] = jnp.sum(
+            jnp.where(rowb == b2[None, :], idx_mat, 0), axis=0)
         Sc = jnp.where(pair_id == slot[None, None, :], -jnp.inf, Sc)
     for t in range(top_t, cand_out.shape[0]):
         cand_out[t, :] = jnp.full((ta,), -1.0, jnp.float32)
-        slot_out[t, :] = jnp.zeros((ta,), jnp.int32)
+        ji_out[t, :] = jnp.zeros((ta,), jnp.int32)
+        ki_out[t, :] = jnp.zeros((ta,), jnp.int32)
 
 
 def candidate_topt_pallas(
     nbr_s: jnp.ndarray,    # [A, B] neighbor scores (descending, <=0 invalid)
+    nbr_idx: jnp.ndarray,  # [A, B] int32 neighbor global node ids
     nbr_p: jnp.ndarray,    # [A, B, 3] neighbor source coords
     nbr_q: jnp.ndarray,    # [A, B, 3] neighbor target coords
     top_t: int,
     compat_tau: float,
     min_separation: float,
     interpret: Optional[bool] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-anchor top-T candidate triangles from gathered neighbor coords.
 
-    Returns (cand_s [A, T], cand_slot [A, T] int32 flat b1*B+b2) — the same
-    contract as `anchor_neighbors_pallas(top_t=...)`'s last two outputs.
+    Returns (cand_s [A, T], cand_j [A, T], cand_k [A, T]) with global node
+    ids decoded in-kernel — the same contract as
+    `anchor_neighbors_pallas(top_t=...)`'s last three outputs.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -449,6 +477,7 @@ def candidate_topt_pallas(
         return jnp.pad(x, w, constant_values=value)
 
     svT = padx(nbr_s.astype(jnp.float32).T, Ap, 1)           # [B, Ap]
+    niT = padx(nbr_idx.astype(jnp.int32).T, Ap, 1)           # [B, Ap]
     vmT = (svT > 0).astype(jnp.float32)
     # [A, B, 3] -> [3, B, A] -> [3*B, A]: row = c*B + b.
     pnT = padx(
@@ -461,7 +490,7 @@ def candidate_topt_pallas(
     )
 
     grid = (Ap // ta,)
-    cand, slot = pl.pallas_call(
+    cand, ji, ki = pl.pallas_call(
         functools.partial(
             _candidate_topt_kernel,
             compat_tau=float(compat_tau),
@@ -472,6 +501,7 @@ def candidate_topt_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, ta), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, ta), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * B, ta), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * B, ta), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, ta), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -479,19 +509,23 @@ def candidate_topt_pallas(
         out_specs=[
             pl.BlockSpec((tp_p, ta), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((tp_p, ta), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp_p, ta), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((tp_p, Ap), jnp.float32),
+            jax.ShapeDtypeStruct((tp_p, Ap), jnp.int32),
             jax.ShapeDtypeStruct((tp_p, Ap), jnp.int32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=25 * Ap * B * B + 4 * top_t * Ap * B * B,
-            bytes_accessed=Ap * B * 32 + Ap * tp_p * 8,
+            bytes_accessed=Ap * B * 40 + Ap * tp_p * 12,
             transcendentals=0,
         ),
-    )(svT, pnT, qnT, vmT)
-    return cand[:top_t, :A].T, slot[:top_t, :A].T
+    )(svT, niT, pnT, qnT, vmT)
+    return (cand[:top_t, :A].T,
+            ji[:top_t, :A].T,
+            ki[:top_t, :A].T)
 
 
 def anchor_neighbors_pallas(
@@ -525,9 +559,10 @@ def anchor_neighbors_pallas(
 
     With top_t > 0 (implies emit_candidates) the kernel additionally
     pre-reduces each anchor's candidates to its top-T on-chip and returns
-    (nbr_s, nbr_idx, cand_s [A, T], cand_slot [A, T] int32) where slot is
-    the flat b1*B + b2 pair id — shrinking the global top-K reduction input
-    by Pairs/T (~15x at the bench budgets).
+    (nbr_s, nbr_idx, cand_s [A, T], cand_j [A, T], cand_k [A, T]) with the
+    selected pair's global node ids decoded in-kernel — shrinking the
+    global top-K reduction input by Pairs/T (~15x at the bench budgets)
+    and eliminating the XLA-side slot->id gathers entirely.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -587,10 +622,12 @@ def anchor_neighbors_pallas(
         )
         out_shape.append(jax.ShapeDtypeStruct((cand_rows, Ap), jnp.float32))
     if top_t:
-        out_specs.append(
-            pl.BlockSpec((tp_p, ta), lambda i: (0, i), memory_space=pltpu.VMEM)
-        )
-        out_shape.append(jax.ShapeDtypeStruct((tp_p, Ap), jnp.int32))
+        for _ in range(2):  # ji / ki global-id planes
+            out_specs.append(
+                pl.BlockSpec((tp_p, ta), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+            )
+            out_shape.append(jax.ShapeDtypeStruct((tp_p, Ap), jnp.int32))
 
     base = functools.partial(
         _anchor_topb_kernel,
@@ -606,10 +643,10 @@ def anchor_neighbors_pallas(
         kernel = base
     elif emit_candidates:
         def kernel(aid, amr, pa, qa, pc, qc, mc, s_o, i_o, c_o):
-            return base(aid, amr, pa, qa, pc, qc, mc, s_o, i_o, c_o, None)
+            return base(aid, amr, pa, qa, pc, qc, mc, s_o, i_o, c_o, None, None)
     else:
         def kernel(aid, amr, pa, qa, pc, qc, mc, s_o, i_o):
-            return base(aid, amr, pa, qa, pc, qc, mc, s_o, i_o, None, None)
+            return base(aid, amr, pa, qa, pc, qc, mc, s_o, i_o, None, None, None)
 
     outs = pl.pallas_call(
         kernel,
@@ -643,8 +680,11 @@ def anchor_neighbors_pallas(
     nbr_idx = jnp.minimum(nbr_idx, N - 1)
     if top_t:
         cand_s = outs[2][:top_t, :A].T                 # [A, T]
-        cand_slot = outs[3][:top_t, :A].T              # [A, T]
-        return nbr_s, nbr_idx, cand_s, cand_slot
+        # Decoded global node ids; clamp like nbr_idx (invalid selections
+        # carry score <= 0 and are discarded downstream).
+        cand_j = jnp.clip(outs[3][:top_t, :A].T, 0, N - 1)
+        cand_k = jnp.clip(outs[4][:top_t, :A].T, 0, N - 1)
+        return nbr_s, nbr_idx, cand_s, cand_j, cand_k
     if emit_candidates:
         cand = outs[2][:n_pairs, :A].T  # [A, Pairs]
         return nbr_s, nbr_idx, cand

@@ -261,21 +261,20 @@ def test_candidate_topt_matches_fused(prob):
     deg = jcompat.degrees(P, Q, P, Q, PARAMS, mask_rows=mask, mask_cols=mask)
     _, anchors = lax.top_k(deg, A)
 
-    nbr_s, nbr_idx, ref_cs, ref_slot = anchor_neighbors_pallas(
+    nbr_s, nbr_idx, ref_cs, ref_j, ref_k = anchor_neighbors_pallas(
         P, Q, anchors, B, PARAMS.compat_tau, PARAMS.min_separation,
         mask=mask, anchor_mask=mask[anchors], top_t=T,
     )
-    got_cs, got_slot = candidate_topt_pallas(
-        nbr_s, P[nbr_idx], Q[nbr_idx], T,
+    got_cs, got_j, got_k = candidate_topt_pallas(
+        nbr_s, nbr_idx, P[nbr_idx], Q[nbr_idx], T,
         PARAMS.compat_tau, PARAMS.min_separation,
     )
     np.testing.assert_allclose(
         np.asarray(got_cs), np.asarray(ref_cs), rtol=1e-5, atol=1e-5
     )
     real = np.asarray(ref_cs) > 0
-    np.testing.assert_array_equal(
-        np.asarray(got_slot)[real], np.asarray(ref_slot)[real]
-    )
+    np.testing.assert_array_equal(np.asarray(got_j)[real], np.asarray(ref_j)[real])
+    np.testing.assert_array_equal(np.asarray(got_k)[real], np.asarray(ref_k)[real])
 
 
 def test_solve3_stream_matches_umeyama(rng):
