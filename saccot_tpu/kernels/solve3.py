@@ -41,6 +41,7 @@ from saccot_tpu.engine.svd3 import (
 )
 
 TILE_K = 256
+_ONEHOT_CAP_BYTES = 3 * 2**20
 MAX_N_SOLVE = 2048  # one-hot tile = MAX_N_SOLVE * 3*TILE_K * 4 B = 6 MB VMEM
 TILE_N_SOLVE = 1024  # point-block width of the streaming (N-unbounded) path
 
@@ -267,7 +268,7 @@ def _solve3_single(P, Q, triples, N, K, interpret):
     # cap it at ~3 MB so the scoped-VMEM budget (16 MB on v5e) holds at any
     # N up to MAX_N_SOLVE (TK=256 at N<=1024, TK=128 at N=2048 — N=2048
     # with TK=256 was measured to OOM at 25.3 MB scoped).
-    tk_cap = max(128, (3 * 2**20 // (12 * Np)) // 128 * 128)
+    tk_cap = max(128, (_ONEHOT_CAP_BYTES // (12 * Np)) // 128 * 128)
     tk = min(TILE_K, tk_cap, max(128, K))
     Kp = -(-K // tk) * tk
 
