@@ -46,23 +46,48 @@ MAX_N_SOLVE = 2048  # one-hot tile = MAX_N_SOLVE * 3*TILE_K * 4 B = 6 MB VMEM
 TILE_N_SOLVE = 1024  # point-block width of the streaming (N-unbounded) path
 
 
-def _solve_kernel(p_ref, q_ref, tri_ref, h_ref, pb_ref, qb_ref):
-    # p_ref/q_ref: [3, Np] coordinate-major points (full, replicated per step)
+def _split3_f32(x):
+    """Exact 3-way bf16 split: x == hi + mid + lo with every part
+    bf16-representable. A one-hot contraction of bf16-representable values
+    at DEFAULT (single-pass bf16) MXU precision is then EXACT — each output
+    is one product part*1.0 accumulated in f32 — at ~1/6 the MXU passes of
+    Precision.HIGHEST. The optimization_barrier pins the bf16 value: XLA
+    otherwise folds convert(bf16->f32) chains and the residuals silently
+    become zero (measured: without the barrier the lo/mid parts vanish and
+    gathered coordinates round to 8 mantissa bits)."""
+    hi16 = lax.optimization_barrier(lax.convert_element_type(x, jnp.bfloat16))
+    hi = lax.convert_element_type(hi16, jnp.float32)
+    r1 = x - hi
+    mid16 = lax.optimization_barrier(lax.convert_element_type(r1, jnp.bfloat16))
+    mid = lax.convert_element_type(mid16, jnp.float32)
+    lo = r1 - mid
+    return hi, mid, lo
+
+
+def _split18(pT, qT):
+    """[3, Np] x2 -> [18, Np]: (p_hi, p_mid, p_lo, q_hi, q_mid, q_lo)."""
+    return jnp.concatenate(list(_split3_f32(pT)) + list(_split3_f32(qT)),
+                           axis=0)
+
+
+def _solve_kernel(s_ref, tri_ref, h_ref, pb_ref, qb_ref):
+    # s_ref:       [18, Np] split coordinate rows (see _split18)
     # tri_ref:     [3, TK] int32 triple indices for this tile
     # h_ref:       [9, TK] cross-covariance entries out (row-major)
     # pb_ref/qb_ref: [3, TK] centroids out
-    Np = p_ref.shape[1]
+    Np = s_ref.shape[1]
     TK = tri_ref.shape[1]
     idx = tri_ref[:]                                   # [3, TK]
     rows = lax.broadcasted_iota(jnp.int32, (Np, 3 * TK), 0)
     flat = idx.reshape(1, 3 * TK)                      # slot-major: [p0 | p1 | p2]
     oh = (rows == flat).astype(jnp.float32)            # [Np, 3*TK]
-    # HIGHEST precision: a one-pass bf16 MXU matmul would round the gathered
-    # coordinates to 8 mantissa bits; multi-pass keeps the selection exact.
-    pg = jnp.dot(p_ref[:], oh, preferred_element_type=jnp.float32,
-                 precision=lax.Precision.HIGHEST)      # [3, 3*TK]
-    qg = jnp.dot(q_ref[:], oh, preferred_element_type=jnp.float32,
-                 precision=lax.Precision.HIGHEST)
+    # ONE single-pass dot over the pre-split rows; exact by construction
+    # (_split3_f32) and ~6x less MXU work than the previous two
+    # Precision.HIGHEST dots.
+    g = jnp.dot(s_ref[:], oh, preferred_element_type=jnp.float32,
+                precision=lax.Precision.DEFAULT)       # [18, 3*TK]
+    pg = g[0:3] + g[3:6] + g[6:9]                      # [3, 3*TK]
+    qg = g[9:12] + g[12:15] + g[15:18]
 
     def slot(g, s):
         return g[:, s * TK:(s + 1) * TK]               # [3, TK] points of slot s
@@ -274,6 +299,7 @@ def _solve3_single(P, Q, triples, N, K, interpret):
 
     pT = jnp.pad(P.astype(jnp.float32).T, ((0, 0), (0, Np - N)))
     qT = jnp.pad(Q.astype(jnp.float32).T, ((0, 0), (0, Np - N)))
+    s18 = _split18(pT, qT)
     # Padded triples index point 0: valid rows, discarded by the caller.
     triT = jnp.pad(triples.astype(jnp.int32).T, ((0, 0), (0, Kp - K)))
 
@@ -282,8 +308,7 @@ def _solve3_single(P, Q, triples, N, K, interpret):
         _solve_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((3, Np), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, Np), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, Np), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tk), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -298,11 +323,11 @@ def _solve3_single(P, Q, triples, N, K, interpret):
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * 3 * Np * 3 * Kp + 60 * Kp,
-            bytes_accessed=(6 * Np + 18 * Kp) * 4,
+            flops=2 * 3 * Np * 6 * Kp + 60 * Kp,
+            bytes_accessed=(18 * Np + 18 * Kp) * 4,
             transcendentals=0,
         ),
-    )(pT, qT, triT)
+    )(s18, triT)
     # Quaternion iteration + rotation assembly happen in the SoA wrapper:
     # the [K]-lane SoA arrays land on full (8, 128) VPU tiles (and batch
     # via vmap for free), unlike the kernel's [1, TK] rows.
