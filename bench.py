@@ -59,7 +59,12 @@ def main():
         min_separation=0.05,
         inlier_tau=0.03,
         num_anchors=256,
-        neighbors_per_anchor=16,
+        # 12 neighbors/anchor: pool-sweep cost scales with B and the
+        # per-anchor top-4 pre-ranking keeps the hypothesis budget K
+        # unchanged; recall stays 1.000 at 0.9 AND 0.95 outlier rates over
+        # 64 pairs at B=12 (r4 sweep; B=16 measured ~5% slower, B=10 equal
+        # recall but thinner margin — not taken).
+        neighbors_per_anchor=12,
         max_hypotheses=1024,
         degree_block_rows=256,
         score_block_k=256,
