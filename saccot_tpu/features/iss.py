@@ -39,21 +39,34 @@ def iss_keypoints(
     k: int = 32,
     min_neighbors: int = 5,
     mask: Optional[jnp.ndarray] = None,
+    neighbors: Optional[tuple] = None,
 ) -> Keypoints:
     """Detect up to `max_keypoints` ISS keypoints.
 
     `k` caps the neighborhood gather (neighbors beyond `salient_radius` are
     masked); radii follow the paper's mesh-resolution-multiples convention.
+    `neighbors`: optional precomputed self-kNN (dists [N, >=k], idx,
+    including self) shared with the normal stage — saliency and NMS both
+    consume the SAME neighbor set (the NMS pass masks the self slot instead
+    of running a second full N^2 kNN; r4: two of the three full kNN passes
+    per scan removed).
     """
     N = points.shape[0]
-    d, idx = knn(points, points, k=k, query_mask=mask, ref_mask=mask, exclude_self=False)
+    if neighbors is None:
+        d, idx = knn(points, points, k=k, query_mask=mask, ref_mask=mask,
+                     exclude_self=False)
+    else:
+        d, idx = neighbors[0][:, :k], neighbors[1][:, :k]
     valid = neighbor_validity(d, radius=salient_radius)
 
     # ISS weights: 1 / local density — approximated as inverse neighbor
     # count of each neighbor; the standard simplification w=1 also works and
     # is what we use (recall parity, not PCL bit-parity, is the bar).
     cov, _ = neighborhood_covariance(points, idx, valid)
-    evals = jnp.linalg.eigvalsh(cov)  # ascending: [l3, l2, l1]
+    from saccot_tpu.features.eig3 import eigvals3_sym
+
+    evals = eigvals3_sym(cov)  # ascending: [l3, l2, l1]; closed form —
+    # iterative batched eigvalsh cost 2x on TPU (features/eig3.py).
     l3, l2, l1 = evals[..., 0], evals[..., 1], evals[..., 2]
 
     n_ok = jnp.sum(valid, axis=-1) >= min_neighbors
@@ -67,10 +80,12 @@ def iss_keypoints(
     if mask is not None:
         salient &= mask.astype(bool)
 
-    # NMS: keep i iff l3_i >= l3_j for all neighbors j within nms_radius.
-    d_nms, idx_nms = knn(points, points, k=k, query_mask=mask, ref_mask=mask, exclude_self=True)
-    in_nms = neighbor_validity(d_nms, radius=nms_radius)
-    nbr_sal = jnp.where(in_nms, l3[idx_nms], -jnp.inf)  # [N, k]
+    # NMS: keep i iff l3_i >= l3_j for all non-self neighbors j within
+    # nms_radius (the self slot — distance 0, same index — is masked out
+    # of the shared neighbor set).
+    rows = jnp.arange(N, dtype=idx.dtype)[:, None]
+    in_nms = neighbor_validity(d, radius=nms_radius) & (idx != rows)
+    nbr_sal = jnp.where(in_nms, l3[idx], -jnp.inf)  # [N, k]
     is_max = l3 >= jnp.max(nbr_sal, axis=-1)
     keep = salient & is_max
 

@@ -45,15 +45,27 @@ def estimate_normals(
     k: int = 16,
     mask: Optional[jnp.ndarray] = None,
     viewpoint: Optional[jnp.ndarray] = None,
+    neighbors: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
-    """Per-point unit normals [N, 3] from k-NN PCA, viewpoint-oriented."""
-    d, idx = knn(points, points, k=k, query_mask=mask, ref_mask=mask, exclude_self=False)
+    """Per-point unit normals [N, 3] from k-NN PCA, viewpoint-oriented.
+
+    `neighbors`: optional precomputed self-kNN (dists [N, >=k], idx) —
+    the pipeline computes one shared kNN for normals + ISS instead of
+    three full N^2 passes (r4 profile: each pass ~10 ms at N=4096);
+    ascending-sorted columns slice exactly to any smaller k.
+    """
+    if neighbors is None:
+        d, idx = knn(points, points, k=k, query_mask=mask, ref_mask=mask,
+                     exclude_self=False)
+    else:
+        d, idx = neighbors[0][:, :k], neighbors[1][:, :k]
     valid = neighbor_validity(d)
     cov, _ = neighborhood_covariance(points, idx, valid)
-    # Batched symmetric eigendecomposition; eigenvalues ascending -> the
-    # first eigenvector is the normal direction.
-    _, vecs = jnp.linalg.eigh(cov)
-    n = vecs[..., 0]  # [N, 3]
+    # Closed-form smallest eigenvector (features/eig3.py) — iterative
+    # batched eigh on TPU cost ~2x and dominated this stage.
+    from saccot_tpu.features.eig3 import smallest_eigvec3_sym
+
+    n = smallest_eigvec3_sym(cov)  # [N, 3]
     vp = jnp.zeros((3,), points.dtype) if viewpoint is None else viewpoint
     to_vp = vp[None, :] - points
     sign = jnp.where(jnp.sum(n * to_vp, axis=-1, keepdims=True) < 0, -1.0, 1.0)

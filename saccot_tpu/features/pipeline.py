@@ -103,7 +103,16 @@ def extract_features(
     mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[Keypoints, jnp.ndarray]:
     """Keypoints + descriptors for one cloud. pr: mesh resolution scalar."""
-    normals = estimate_normals(points, k=cfg.normal_k, mask=mask)
+    # ONE shared self-kNN feeds normals + ISS saliency + ISS NMS: the
+    # ascending-sorted columns slice exactly to each consumer's k, cutting
+    # three full N^2 kNN passes per scan to one (r4 feature profile).
+    from saccot_tpu.features.neighbors import knn as _knn
+
+    kk = max(cfg.normal_k, 32)
+    nbrs = _knn(points, points, k=kk, query_mask=mask, ref_mask=mask,
+                exclude_self=False)
+    normals = estimate_normals(points, k=cfg.normal_k, mask=mask,
+                               neighbors=nbrs)
     if cfg.keypoints == "harris":
         from saccot_tpu.features.harris import harris_keypoints
 
@@ -125,6 +134,7 @@ def extract_features(
             gamma21=cfg.iss_gamma21,
             gamma32=cfg.iss_gamma32,
             mask=mask,
+            neighbors=nbrs,
         )
     r_desc = cfg.descriptor_radius_mult * pr
     if cfg.descriptor == "shot":
