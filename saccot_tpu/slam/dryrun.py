@@ -42,7 +42,9 @@ def _tiny_problem(n_poses=4, n_landmarks=64, obs=2, seed=0):
 
 def dryrun_ba_step(mesh: Mesh) -> None:
     corr = mesh.shape["corr"]
-    prob = _tiny_problem(n_landmarks=32 * max(corr, 1))
+    # obs=4: multi-view tracks, so the gate exercises the same G>2 coupling
+    # structure the production track-BA builds (slam/frontend).
+    prob = _tiny_problem(n_landmarks=32 * max(corr, 1), obs=4)
 
     if corr == 1:
         res = bundle_adjust(prob, iters=2)

@@ -404,15 +404,27 @@ def run_sequence(
     if run_ba:
         if merge_cell is None:
             merge_cell = 3.0 * float(params.inlier_tau)
-        # Huber gate at the estimator's inlier threshold: tracks assembled
-        # from false-inlier correspondences carry residuals past tau and get
-        # linear-tail down-weighting instead of steering the solve.
-        ba_robust = float(params.inlier_tau)
+        # Data-scaled Huber gate: 2x the median initial track residual.
+        # Landmarks start at their track means, so the initial |r|
+        # distribution measures intra-track spread directly — true tracks
+        # sit at the noise scale, association errors above it. A fixed gate
+        # at the estimator's inlier_tau measured 1.7x worse ATE on the
+        # 16-scan driver config (tau is an *inlier* radius, far above the
+        # noise), and no gate 2.3x worse.
+        ba_robust = None  # set after the problem exists, below
         prob, ba_stats = correspondences_to_ba(
             pgo.poses, edges, edge_P, edge_Q, np.asarray(reg.inliers),
             max_landmarks=max_landmarks, obs_per_landmark=obs_per_landmark,
             merge_cell=merge_cell,
         )
+        from saccot_tpu.slam.ba import _residuals as _ba_residuals
+
+        r0, _ = _ba_residuals(prob.poses, prob.landmarks, prob)
+        d0 = np.sqrt(np.sum(np.asarray(r0, np.float64) ** 2, axis=-1))
+        real = np.asarray(prob.obs_w) > 0
+        if real.any():
+            ba_robust = max(2.0 * float(np.median(d0[real])), 1e-9)
+        ba_stats["huber_delta"] = ba_robust
         if log is not None:
             log.log(dict(event="ba_tracks", **ba_stats))
 
