@@ -72,6 +72,67 @@ def eigvals3_sym(C: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([e3, e2, e1], axis=-1)
 
 
+def _nullspace_vec(Bd, beta):
+    """Largest-norm row-pair cross of (B - beta I): spans the 1-D null
+    space of a simple eigenvalue's shifted matrix. Returns (v, norm2)."""
+    B00, B11, B22, B01, B12, B02 = Bd
+    r0 = jnp.stack([B00 - beta, B01, B02], axis=-1)
+    r1 = jnp.stack([B01, B11 - beta, B12], axis=-1)
+    r2 = jnp.stack([B02, B12, B22 - beta], axis=-1)
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    best12 = n12 >= jnp.maximum(n01, n02)
+    best02 = n02 >= n01
+    v = jnp.where(
+        best12[..., None], c12, jnp.where(best02[..., None], c02, c01)
+    )
+    return v, jnp.maximum(jnp.maximum(n01, n02), n12)
+
+
+def extreme_eigvecs3_sym(C: jnp.ndarray):
+    """(v_small, v_large): unit eigenvectors of the smallest and largest
+    eigenvalues of symmetric [..., 3, 3] — the two axes SHOT's local
+    reference frame consumes (the middle axis is their cross product).
+
+    Degenerate spectra (repeated eigenvalues / isotropic neighborhoods)
+    fall back to a fixed orthonormal pair — exactly the regime where the
+    LRF is ill-defined and `eigh` would return an arbitrary basis too;
+    v_large is re-orthogonalized against v_small so the frame stays
+    orthonormal under f32 rounding.
+    """
+    Bd, q, p, iso = _normalized_form(C)
+    phi = _beta_angles(Bd)
+    beta1 = 2.0 * jnp.cos(phi)              # largest (normalized)
+    beta3 = 2.0 * jnp.cos(phi + _TWO_PI_3)  # smallest
+
+    vs, ns = _nullspace_vec(Bd, beta3)
+    vl, nl = _nullspace_vec(Bd, beta1)
+
+    bad_s = (ns <= 1e-20) | iso
+    bad_l = (nl <= 1e-20) | iso
+    ez = jnp.zeros_like(vs).at[..., 2].set(1.0)
+    ex = jnp.zeros_like(vs).at[..., 0].set(1.0)
+    vs = jnp.where(bad_s[..., None], ez, vs)
+    vs = vs / jnp.sqrt(
+        jnp.maximum(jnp.sum(vs * vs, axis=-1, keepdims=True), 1e-30))
+    vl = jnp.where(bad_l[..., None], ex, vl)
+    # Orthogonalize against vs (they are exactly orthogonal in theory;
+    # this pins it in f32 and rescues the repeated-eigenvalue case).
+    vl = vl - jnp.sum(vl * vs, axis=-1, keepdims=True) * vs
+    deg = jnp.sum(vl * vl, axis=-1) <= 1e-20
+    alt = jnp.cross(vs, ez)
+    alt_ok = jnp.sum(alt * alt, axis=-1) > 1e-12
+    fallback = jnp.where(alt_ok[..., None], alt, jnp.cross(vs, ex))
+    vl = jnp.where(deg[..., None], fallback, vl)
+    vl = vl / jnp.sqrt(
+        jnp.maximum(jnp.sum(vl * vl, axis=-1, keepdims=True), 1e-30))
+    return vs, vl
+
+
 def smallest_eigvec3_sym(
     C: jnp.ndarray, evals: Optional[jnp.ndarray] = None
 ) -> jnp.ndarray:

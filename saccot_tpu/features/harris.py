@@ -50,7 +50,9 @@ def harris_keypoints(
     # effectively rank-2 (det3 ~ 0 always); the corner measure is the 2-D
     # Harris response on the two dominant eigenvalues: normals turning in
     # two independent directions = corner, in one = edge, in none = plane.
-    evals = jnp.linalg.eigvalsh(C)  # ascending
+    from saccot_tpu.features.eig3 import eigvals3_sym
+
+    evals = eigvals3_sym(C)  # ascending (closed form; see features/eig3.py)
     l1, l2 = evals[..., 2], evals[..., 1]
     response = l1 * l2 - harris_k * (l1 + l2) ** 2
 

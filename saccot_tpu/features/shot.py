@@ -44,10 +44,12 @@ def local_reference_frames(
     cov = jnp.einsum(
         "mk,mki,mkj->mij", w, rel, rel, precision=jax.lax.Precision.HIGHEST
     ) / wsum[..., None]
-    _, vecs = jnp.linalg.eigh(cov)  # ascending eigenvalues
-    z = vecs[..., 0]
-    y_tmp = vecs[..., 1]
-    x = vecs[..., 2]
+    # Closed-form extreme eigenvectors (features/eig3.py) — batched eigh on
+    # TPU is iterative and cost the bulk of the LRF stage; only the
+    # smallest/largest axes are consumed (y is recomputed as z cross x).
+    from saccot_tpu.features.eig3 import extreme_eigvecs3_sym
+
+    z, x = extreme_eigvecs3_sym(cov)
 
     def disambiguate(axis):
         proj = jnp.einsum("mki,mi->mk", rel, axis)

@@ -291,3 +291,31 @@ def test_pipeline_with_icp_polish():
     # The polish must not make things worse (allow fp wiggle).
     assert rot_f <= rot_c * 1.2 + 0.1, (rot_f, rot_c)
     assert float(fine.icp_rmse) > 0.0
+
+
+def test_eig3_matches_eigvalsh(rng):
+    """Closed-form 3x3 symmetric eigenvalues/vectors vs LAPACK on random
+    covariance-like inputs + degenerate cases (features/eig3.py)."""
+    from saccot_tpu.features.eig3 import eigvals3_sym, smallest_eigvec3_sym
+
+    A = rng.normal(size=(256, 5, 3)).astype(np.float32)
+    C = np.einsum("nki,nkj->nij", A, A) / 5.0  # SPD-ish covariances
+    # Degenerate members: isotropic, rank-1, rank-2, zero.
+    C[0] = np.eye(3) * 2.7
+    C[1] = np.outer([1.0, 2.0, 3.0], [1.0, 2.0, 3.0])
+    C[2] = np.diag([1.0, 1.0, 0.0])
+    C[3] = 0.0
+    Cj = jnp.asarray(C)
+
+    ev = np.asarray(eigvals3_sym(Cj), np.float64)
+    ref = np.linalg.eigvalsh(C.astype(np.float64))
+    scale = np.maximum(np.abs(ref).max(axis=-1, keepdims=True), 1e-6)
+    np.testing.assert_allclose(ev / scale, ref / scale, atol=5e-4)
+
+    v = np.asarray(smallest_eigvec3_sym(Cj), np.float64)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-5)
+    # Rayleigh quotient of the returned vector ~= smallest eigenvalue.
+    rq = np.einsum("ni,nij,nj->n", v, C.astype(np.float64), v)
+    np.testing.assert_allclose(
+        (rq - ref[:, 0]) / scale[:, 0], 0.0, atol=1e-3
+    )
