@@ -76,9 +76,11 @@ def fpfh_descriptors(
     radius: float,
     k: int = 32,
     mask: Optional[jnp.ndarray] = None,
+    approx: bool = False,
 ) -> jnp.ndarray:
     """FPFH descriptors [M, 33] at keypoint indices `kp_idx`."""
-    d, idx = knn(points, points, k=k, query_mask=mask, ref_mask=mask, exclude_self=True)
+    d, idx = knn(points, points, k=k, query_mask=mask, ref_mask=mask,
+                 exclude_self=True, approx=approx)
     valid = neighbor_validity(d, radius=radius)
     s = spfh(points, normals, idx, valid, d)  # [N, 33]
 

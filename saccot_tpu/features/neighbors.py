@@ -33,6 +33,7 @@ def knn(
     ref_mask: Optional[jnp.ndarray] = None,
     exclude_self: bool = False,
     block_rows: int = 1024,
+    approx: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k nearest refs for each query point.
 
@@ -42,6 +43,12 @@ def knn(
       query_mask/ref_mask: optional validity masks for padded rows.
       exclude_self: drop the i==j pair (for self-kNN where query is ref).
       block_rows: query rows per scan step.
+      approx: use `lax.approx_max_k` for the per-row selection — 6.7x
+        faster than exact top_k at [1024, 4096]/k=32 with ~99% neighbor
+        recall (r4 measurement). Right for *neighborhood sampling*
+        consumers (normals/saliency/descriptor supports, which are
+        radius-masked statistical aggregates); keep exact selection for
+        anything that needs the true k-NN set.
 
     Returns:
       (dists [M, k], idx [M, k]): Euclidean distances ascending; padded /
@@ -71,7 +78,10 @@ def knn(
             cols = jnp.arange(N)
             d2 = jnp.where(rows[:, None] == cols[None, :], BIG, d2)
         d2 = jnp.where(mb[:, None] > 0, d2, BIG)
-        neg, idx = lax.top_k(-d2, k)
+        if approx:
+            neg, idx = lax.approx_max_k(-d2, k)
+        else:
+            neg, idx = lax.top_k(-d2, k)
         return None, (jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32))
 
     starts = jnp.arange(nb) * block_rows

@@ -43,6 +43,11 @@ class PipelineConfig:
     voxel_mult: float = 0.0          # voxel size in pr units; 0 disables
     max_cloud_points: int = 8192     # static budget after downsampling
     normal_k: int = 16
+    # approx_max_k neighbor selection for the sampling-tolerant stages
+    # (normals/ISS/descriptor supports): ~99% neighbor recall, 6.7x faster
+    # selection (features/neighbors.py). Matching and mesh resolution stay
+    # exact. Recall-checked on the bunny/u3m configs.
+    approx_knn: bool = True
 
     # keypoints
     keypoints: str = "iss"           # "iss" | "harris"
@@ -110,7 +115,7 @@ def extract_features(
 
     kk = max(cfg.normal_k, 32)
     nbrs = _knn(points, points, k=kk, query_mask=mask, ref_mask=mask,
-                exclude_self=False)
+                exclude_self=False, approx=cfg.approx_knn)
     normals = estimate_normals(points, k=cfg.normal_k, mask=mask,
                                neighbors=nbrs)
     if cfg.keypoints == "harris":
@@ -138,9 +143,13 @@ def extract_features(
         )
     r_desc = cfg.descriptor_radius_mult * pr
     if cfg.descriptor == "shot":
-        desc = shot_descriptors(points, normals, kps.idx, r_desc, k=cfg.descriptor_k, mask=mask)
+        desc = shot_descriptors(points, normals, kps.idx, r_desc,
+                                k=cfg.descriptor_k, mask=mask,
+                                approx=cfg.approx_knn)
     else:
-        desc = fpfh_descriptors(points, normals, kps.idx, r_desc, k=cfg.descriptor_k, mask=mask)
+        desc = fpfh_descriptors(points, normals, kps.idx, r_desc,
+                                k=cfg.descriptor_k, mask=mask,
+                                approx=cfg.approx_knn)
     return kps, desc
 
 

@@ -70,6 +70,7 @@ def shot_descriptors(
     radius: float,
     k: int = 64,
     mask: Optional[jnp.ndarray] = None,
+    approx: bool = False,
 ) -> jnp.ndarray:
     """SHOT descriptors [M, 352] for keypoints `kp_idx` of a cloud.
 
@@ -77,7 +78,8 @@ def shot_descriptors(
     slot-0 gather gives — callers carry the keypoint validity mask.
     """
     kp = points[kp_idx]  # [M, 3]
-    d, idx = knn(kp, points, k=k, ref_mask=mask, exclude_self=False)
+    d, idx = knn(kp, points, k=k, ref_mask=mask, exclude_self=False,
+                 approx=approx)
     valid = neighbor_validity(d, radius=radius)
     # Exclude the keypoint itself (distance ~0 would pollute azimuth).
     valid &= d > 1e-9
