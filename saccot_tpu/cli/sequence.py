@@ -114,6 +114,7 @@ def run_sequence_files(
     n_inliers = []
     feats = []       # per-scan features (kept only when loops=True)
     rel_meas = []    # odometry measurements Z_{i,i+1}
+    corr = []        # per-edge (P, Q, inlier-mask, success) for info matrices
     t_start = time.time()
     scans = _scan_iter(paths, fmt, max_pts)
     try:
@@ -134,6 +135,10 @@ def run_sequence_files(
                 poses.append(poses[-1] @ T)
                 rel_meas.append(T)
                 n_inliers.append(int(res.registration.num_inliers))
+                if loops:
+                    corr.append((np.asarray(res.corr_P), np.asarray(res.corr_Q),
+                                 np.asarray(res.registration.inliers),
+                                 bool(res.registration.success)))
                 rec = dict(
                     pair=(i - 1, i), wall_s=times[-1],
                     num_corr=int(res.num_correspondences),
@@ -169,7 +174,7 @@ def run_sequence_files(
     poses_opt = None
     if loops and len(poses) > loop_min_gap:
         poses_opt, loop_stats = _close_loops(
-            poses, rel_meas, n_inliers, feats, cfg,
+            poses, rel_meas, n_inliers, feats, cfg, corr,
             loop_radius=loop_radius, loop_min_gap=loop_min_gap,
             max_loops=max_loops, loop_min_inliers=loop_min_inliers,
             loop_gate=loop_gate, pgo_iters=pgo_iters, log=log,
@@ -192,11 +197,18 @@ def run_sequence_files(
 
 
 def _close_loops(
-    poses, rel_meas, n_inliers, feats, cfg,
+    poses, rel_meas, n_inliers, feats, cfg, corr,
     loop_radius, loop_min_gap, max_loops, loop_min_inliers,
     loop_gate, pgo_iters, log=None,
 ):
     """Propose -> confirm -> robustly optimize loop closures.
+
+    Edges carry full [6, 6] information matrices derived from each
+    registration's inlier statistics (`corr` holds the correspondence sets
+    the main loop cached; slam/frontend.edge_information) — so residuals
+    are chi^2_6-whitened and the documented robust-loss calibration
+    applies, instead of the r3 weight-only whitening with mixed
+    meter/radian units.
 
     Returns (optimized poses [M, 4, 4] ndarray or the input chain when no
     loop confirmed, stats dict).
@@ -217,7 +229,7 @@ def _close_loops(
         max_candidates=max_loops,
     )
 
-    loop_e, loop_Z, loop_w = [], [], []
+    loop_e, loop_Z, loop_w, loop_corr = [], [], [], []
     for (i, j) in cand:
         # Register scan j (src) against scan i (tgt): T maps j into i's
         # frame, which IS the pose-graph measurement Z_ij = T_i^{-1} T_j.
@@ -231,6 +243,9 @@ def _close_loops(
             loop_e.append((int(i), int(j)))
             loop_Z.append(np.asarray(res.registration.T, np.float64))
             loop_w.append(float(ni))
+            loop_corr.append((np.asarray(res.corr_P), np.asarray(res.corr_Q),
+                              np.asarray(res.registration.inliers),
+                              bool(res.registration.success)))
 
     stats = dict(
         loop_candidates=len(cand),
@@ -246,27 +261,56 @@ def _close_loops(
     ej = list(range(1, M)) + [e[1] for e in loop_e]
     meas = np.stack([np.asarray(Z, np.float64) for Z in rel_meas] + loop_Z)
     w = np.asarray(list(n_inliers) + loop_w, np.float64) / mean_inl
+
+    # [E, 6, 6] information from the registrations' inlier statistics: the
+    # correspondence sets cached by the main loop (odometry) and the loop
+    # confirmations above. Measurement direction matches: meas = T maps the
+    # edge's SOURCE scan (j) into the target's frame, and edge_information
+    # is the Gauss-Newton information of exactly that transform.
+    from saccot_tpu.engine.sac_cot import RegistrationResult
+    from saccot_tpu.slam.frontend import edge_information
+
+    all_corr = list(corr) + loop_corr
+    meas_f = jnp.asarray(meas, jnp.float32)
+    reg_b = RegistrationResult(
+        R=meas_f[:, :3, :3],
+        t=meas_f[:, :3, 3],
+        T=meas_f,
+        inliers=jnp.asarray(np.stack([c[2] for c in all_corr])),
+        num_inliers=jnp.asarray(list(n_inliers) + [int(x) for x in loop_w],
+                                jnp.int32),
+        best_score=jnp.zeros((len(ei),), jnp.float32),
+        num_valid_triangles=jnp.zeros((len(ei),), jnp.int32),
+        success=jnp.asarray([c[3] for c in all_corr]),
+    )
+    info = edge_information(
+        reg_b,
+        jnp.asarray(np.stack([c[0] for c in all_corr]), jnp.float32),
+        jnp.asarray(np.stack([c[1] for c in all_corr]), jnp.float32),
+    )
     graph = PoseGraph(
         poses=jnp.asarray(poses_np, jnp.float32),
         edge_i=jnp.asarray(ei, jnp.int32),
         edge_j=jnp.asarray(ej, jnp.int32),
-        meas=jnp.asarray(meas, jnp.float32),
+        meas=meas_f,
         weight=jnp.asarray(w, jnp.float32),
+        info=info,
     )
-    # Two-stage robust schedule. A correct loop closure's *initial* residual
-    # equals the accumulated odometry drift, so a fixed TLS gate in these
-    # weight-whitened (mixed meter/radian, no info matrices) units would cut
-    # exactly the edge meant to correct large drift. Stage 1: Huber — its
-    # linear tail keeps a nonzero pull from every edge, so consistent loops
-    # get absorbed no matter how large the drift. Stage 2: re-gate with TLS
-    # scaled to the stage-1 residual distribution — after Huber convergence a
-    # correct loop's residual is small while a planted-false loop (inconsistent
-    # with the rest of the graph) remains an outlier and is cut entirely.
+    # Two-stage robust schedule on chi^2_6-whitened residuals. A correct
+    # loop closure's *initial* residual equals the accumulated odometry
+    # drift, so a hard TLS gate up front would cut exactly the edge meant
+    # to correct large drift. Stage 1: Huber — its linear tail keeps a
+    # nonzero pull from every edge, so consistent loops get absorbed no
+    # matter how large the drift. Stage 2: TLS at the chi^2_6 99% gate
+    # (delta ~ 4.1, valid because the info matrices whiten the residuals —
+    # see posegraph.robust_weight), floored by 2x the post-Huber median so
+    # an uncalibrated noise model cannot cut half the graph.
     pgo_h = optimize_pose_graph(
-        graph, iters=pgo_iters, robust="huber", delta=loop_gate
+        graph, iters=pgo_iters, robust="huber", delta=3.0
     )
     s = np.asarray(edge_errors(pgo_h.poses, graph), np.float64)
-    gate = max(float(loop_gate), 3.0 * float(np.median(np.sqrt(np.maximum(s, 0.0)))))
+    med = float(np.median(np.sqrt(np.maximum(s, 0.0))))
+    gate = max(4.1, 2.0 * med, float(loop_gate))
     pgo = optimize_pose_graph(
         graph._replace(poses=pgo_h.poses), iters=pgo_iters,
         robust="tls", delta=gate,

@@ -99,6 +99,12 @@ class PipelineResult(NamedTuple):
     # Final weighted inlier RMSE of the ICP polish, in pr units; 0 when the
     # config has icp=None.
     icp_rmse: jnp.ndarray = 0.0
+    # Matched correspondence sets in METRIC units ([max_correspondences, 3]
+    # each; registration.inliers masks them) — what the SLAM layer needs to
+    # derive [6, 6] edge information matrices (slam/frontend.edge_information)
+    # instead of crude inlier-count weights. 0-sized placeholder when absent.
+    corr_P: jnp.ndarray = 0.0
+    corr_Q: jnp.ndarray = 0.0
 
 
 def extract_features(
@@ -302,6 +308,8 @@ def register_scan_features(
         num_keypoints_src=jnp.sum(src.kp_valid).astype(jnp.int32),
         num_keypoints_tgt=jnp.sum(tgt.kp_valid).astype(jnp.int32),
         num_correspondences=jnp.sum(matches.valid).astype(jnp.int32),
+        corr_P=P,
+        corr_Q=Q,
     )
 
 
