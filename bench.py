@@ -167,8 +167,6 @@ def main():
         stage_bound_seconds,
     )
     from saccot_tpu.engine import triangles as tri_mod
-    from saccot_tpu.engine import score as score_mod
-    from saccot_tpu.engine.svd3 import umeyama
     from saccot_tpu.kernels.compat import degrees_pallas
     from saccot_tpu.kernels.score import score_hypotheses_pallas_soa
     from saccot_tpu.kernels.solve3 import solve3_pallas_soa

@@ -57,10 +57,17 @@ class SweepCheckpointer:
         self.done: Dict[int, Dict[str, np.ndarray]] = {}
         if path and os.path.isdir(path):
             for name in sorted(os.listdir(path)):
-                if name.startswith("shard_") and name.endswith(".npz"):
-                    idx = int(name[len("shard_"):-len(".npz")])
-                    with np.load(os.path.join(path, name)) as z:
-                        self.done[idx] = {k: z[k] for k in z.files}
+                # Temp files from a crash mid-record start with "." and are
+                # ignored (and must be: a stray tmp would otherwise fail the
+                # int() parse and brick every resume — the exact scenario
+                # this checkpointer exists for).
+                if not (name.startswith("shard_") and name.endswith(".npz")):
+                    continue
+                stem = name[len("shard_"):-len(".npz")]
+                if not stem.isdigit():
+                    continue
+                with np.load(os.path.join(path, name)) as z:
+                    self.done[int(stem)] = {k: z[k] for k in z.files}
 
     def is_done(self, shard_idx: int) -> bool:
         return shard_idx in self.done
@@ -70,7 +77,11 @@ class SweepCheckpointer:
         if self.path:
             os.makedirs(self.path, exist_ok=True)
             final = os.path.join(self.path, f"shard_{shard_idx:06d}.npz")
-            tmp = final + ".tmp.npz"
+            # Dot-prefixed temp name: never matches the shard_*.npz loader
+            # pattern, so a crash between savez and replace cannot corrupt
+            # a later resume. (np.savez appends .npz only when absent, so
+            # the name is used verbatim.)
+            tmp = os.path.join(self.path, f".tmp_shard_{shard_idx:06d}.npz")
             np.savez(tmp, **self.done[shard_idx])
             os.replace(tmp, final)
 

@@ -214,7 +214,11 @@ def _run_group(args_per_proc, env, timeout=540):
         for i, p in enumerate(procs):
             if rcs[i] is None:
                 rcs[i] = p.poll()
-        if any(rc is not None for rc in rcs) and grace_until is None:
+        # Start the kill-survivors grace period only on an ABNORMAL exit:
+        # a clean rc=0 worker finishing slightly ahead of its peer (e.g.
+        # while proc 0 still merges/saves results) must not doom the rest.
+        abnormal = any(rc is not None and rc != 0 for rc in rcs)
+        if abnormal and grace_until is None:
             grace_until = _time.time() + 20.0
         if grace_until is not None and _time.time() > grace_until:
             for i, p in enumerate(procs):
