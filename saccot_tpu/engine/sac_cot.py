@@ -106,7 +106,8 @@ def _register_pair(
 
     with jax.named_scope("saccot_triangles"):
         pool = tri_mod.triangle_pool_from_points(
-            P_full, Q_full, deg_full, params, mask=m_full, impl=pool_impl
+            P_full, Q_full, deg_full, params, mask=m_full, impl=pool_impl,
+            anchor_axis=corr_axis,
         )
 
     if hyp_axis is not None:

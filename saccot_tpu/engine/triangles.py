@@ -97,6 +97,7 @@ def triangle_pool_from_points(
     params: SacCotParams,
     mask: Optional[jnp.ndarray] = None,
     impl: str = "jnp",
+    anchor_axis: Optional[str] = None,
 ) -> TrianglePool:
     """Hot-path pool builder: degrees + points in, ranked triangles out.
 
@@ -105,11 +106,30 @@ def triangle_pool_from_points(
     materialized here. With `impl="pallas"` the row recompute and the
     per-anchor top-B neighbor selection fuse into one on-chip kernel
     (kernels/triangles.py) so even the [A, N] rows never touch HBM.
+
+    `anchor_axis`: optional mesh axis to shard the ANCHOR dimension over
+    (the SP/corr axis in the sharded estimator): per-anchor work is
+    anchor-local, so each device scores A/d anchors against the (gathered)
+    point set and one tiny all_gather of the [A/d, T] candidate stats
+    reassembles the identical global pool — triangle scores and sampled
+    indices are computed shard-parallel rather than replicated
+    (SURVEY.md section 5, long-context row; closes r3's "degrees only"
+    partial). Exact: contiguous anchor slices concatenate in axis order.
+    Applies to the per-anchor-candidate paths; other paths (exhaustive
+    candidates, dedup ranking) need the full candidate set on every device
+    and stay replicated.
     """
     N = P.shape[0]
     A = min(params.num_anchors, N)
     B = min(params.neighbors_per_anchor, N - 1)
     _, anchors = lax.top_k(deg, A)
+    shard = None
+    if anchor_axis is not None and params.per_anchor_candidates > 0:
+        d_ax = lax.axis_size(anchor_axis)
+        if A % d_ax == 0 and d_ax > 1:
+            a_loc = A // d_ax
+            a0 = lax.axis_index(anchor_axis) * a_loc
+            shard = (anchor_axis, a0, a_loc)
     # mask_rows matters: when fewer than A correspondences are valid (the
     # common padded-pipeline case), top_k must still fill the anchor budget
     # with masked degree-0 nodes — without zeroing their rows, garbage
@@ -122,11 +142,15 @@ def triangle_pool_from_points(
                 # Fastest path: the kernel pre-reduces each anchor to its
                 # top-T candidates on-chip; XLA only runs the A*T -> K
                 # selection and K-element index gathers.
+                my_anchors = _slice_anchors(anchors, shard)
                 nbr_s, nbr_idx, cand_s, cand_j, cand_k = anchor_neighbors_pallas(
-                    P, Q, anchors, B, params.compat_tau, params.min_separation,
+                    P, Q, my_anchors, B, params.compat_tau, params.min_separation,
                     mask=mask,
-                    anchor_mask=None if mask is None else mask[anchors],
+                    anchor_mask=None if mask is None else mask[my_anchors],
                     top_t=min(params.per_anchor_candidates, B * (B - 1) // 2),
+                )
+                cand_s, cand_j, cand_k = _gather_anchor_shards(
+                    shard, cand_s, cand_j, cand_k
                 )
                 return _pool_from_preranked(
                     anchors, cand_s, cand_j, cand_k, params
@@ -156,10 +180,11 @@ def triangle_pool_from_points(
             anchor_neighbors_stream_pallas, candidate_topt_pallas,
         )
 
+        my_anchors = _slice_anchors(anchors, shard)
         nbr_s, nbr_idx = anchor_neighbors_stream_pallas(
-            P, Q, anchors, B, params.compat_tau, params.min_separation,
+            P, Q, my_anchors, B, params.compat_tau, params.min_separation,
             mask=mask,
-            anchor_mask=None if mask is None else mask[anchors],
+            anchor_mask=None if mask is None else mask[my_anchors],
         )
         if params.per_anchor_candidates > 0:
             T = min(params.per_anchor_candidates, B * (B - 1) // 2)
@@ -167,7 +192,12 @@ def triangle_pool_from_points(
                 nbr_s, nbr_idx, P[nbr_idx], Q[nbr_idx], T,
                 params.compat_tau, params.min_separation,
             )
+            cand_s, cand_j, cand_k = _gather_anchor_shards(
+                shard, cand_s, cand_j, cand_k
+            )
             return _pool_from_preranked(anchors, cand_s, cand_j, cand_k, params)
+        if shard is not None:
+            nbr_s, nbr_idx = _gather_anchor_shards(shard, nbr_s, nbr_idx)
         return _pool_from_neighbors(anchors, nbr_s, nbr_idx, P, Q, params)
     rows = compat_mod.score_block(
         P[anchors], Q[anchors], P, Q, params,
@@ -176,6 +206,24 @@ def triangle_pool_from_points(
         mask_cols=mask,
     )  # [A, N]
     return _pool_from_anchor_rows(anchors, rows, P, Q, params)
+
+
+def _slice_anchors(anchors, shard):
+    if shard is None:
+        return anchors
+    _, a0, a_loc = shard
+    return lax.dynamic_slice_in_dim(anchors, a0, a_loc, axis=0)
+
+
+def _gather_anchor_shards(shard, *arrs):
+    """all_gather each [A/d, ...] shard back to [A, ...] in axis order."""
+    if shard is None:
+        return arrs if len(arrs) > 1 else arrs[0]
+    axis, _, _ = shard
+    out = tuple(
+        lax.all_gather(a, axis, tiled=True) for a in arrs
+    )
+    return out if len(out) > 1 else out[0]
 
 
 def triangle_pool(

@@ -303,3 +303,53 @@ def test_sweep_runs_bench_kernel_config(eight_devices, batch):
     res = sweep(P_all, Q_all, mask)
     ref = register_batch(P_all, Q_all, PARAMS)
     _check_equal(res, ref, T_gt)
+
+
+def test_anchor_sharded_pool_matches_single_device(eight_devices):
+    """With per_anchor_candidates set, the corr-sharded estimator shards
+    the POOL's anchor axis too (each device scores A/d anchors; one tiny
+    all_gather of the [A/d, T] candidate stats reassembles the identical
+    global pool) — triangle scores/sampled indices are computed
+    shard-parallel, not replicated (SURVEY.md section 5 long-context row,
+    closing the r3 'degrees only' partial). Must match the single-device
+    pool exactly up to f32 reduction order."""
+    import dataclasses
+
+    params = dataclasses.replace(
+        PARAMS, num_anchors=48, dedup_triangles=False,
+        per_anchor_candidates=4, max_hypotheses=192,
+    )
+    prob = correspondence_problem(seed=321, n=N, outlier_ratio=0.5)
+    Pv, Qv = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    mask = jnp.ones((N,), jnp.float32)
+    mesh = make_mesh(pairs=1, corr=8)
+
+    fn = jax.shard_map(
+        lambda p, q, m: register_pair_sp(p, q, params, "corr", mask_shard=m),
+        mesh=mesh,
+        in_specs=(P("corr"), P("corr"), P("corr")),
+        out_specs=_sp_out_specs(),
+        check_vma=False,
+    )
+    res = jax.jit(fn)(Pv, Qv, mask)
+    ref = register_pair(Pv, Qv, params)
+    E = np.asarray(res.T, np.float64) @ np.linalg.inv(np.asarray(ref.T, np.float64))
+    assert se3np.rotation_angle_deg(E[:3, :3]) < 0.05
+    assert int(res.num_inliers) == int(ref.num_inliers)
+    np.testing.assert_array_equal(np.asarray(res.inliers), np.asarray(ref.inliers))
+
+    # The pallas kernel path (interpret mode off-TPU) through the same
+    # sharded pool must agree as well.
+    fn_pl = jax.shard_map(
+        lambda p, q, m: register_pair_sp(
+            p, q, params, "corr", mask_shard=m,
+            compat_impl="pallas", score_impl="pallas",
+            pool_impl="pallas", solve_impl="pallas",
+        ),
+        mesh=mesh,
+        in_specs=(P("corr"), P("corr"), P("corr")),
+        out_specs=_sp_out_specs(),
+        check_vma=False,
+    )
+    res_pl = jax.jit(fn_pl)(Pv, Qv, mask)
+    assert abs(int(res_pl.num_inliers) - int(ref.num_inliers)) <= 1
