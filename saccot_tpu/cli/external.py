@@ -99,6 +99,7 @@ def run_external(
     impl: str = "auto",
     batch: int = 8,
     log=None,
+    out_log: Optional[str] = None,
 ) -> Dict:
     """Run the external-descriptor registration protocol; return metrics."""
     if params is None:
@@ -202,6 +203,17 @@ def run_external(
                 registered=bool(ok), num_inliers=int(results_inl[s]),
             ))
     recall = float(np.mean(flags))
+
+    if out_log:
+        # Standard .log trajectory of the ESTIMATED transforms, consumable
+        # by the public 3DMatch/Redwood evaluation scripts (io/loaders.save_log).
+        from saccot_tpu.io.loaders import save_log
+
+        save_log(
+            out_log,
+            {pair_ids[s]: results_T[s] for s in range(n_pairs)},
+            n_fragments=len(frags),
+        )
 
     return dict(
         config="external",

@@ -66,6 +66,10 @@ def main(argv=None) -> int:
                          "(external mode)")
     ap.add_argument("--max-corr", type=int, default=2048,
                     help="correspondence cap per pair (external mode)")
+    ap.add_argument("--out-log", type=str, default=None,
+                    help="write estimated transforms as a 3DMatch-style .log "
+                         "(external mode; consumable by the standard "
+                         "Redwood/3DMatch evaluation scripts)")
     args = ap.parse_args(argv)
 
     import jax
@@ -101,7 +105,8 @@ def main(argv=None) -> int:
         if args.log:
             kw["log"] = JsonlLogger(args.log)
         metrics = run_external(
-            args.dir, args.gt_log, max_correspondences=args.max_corr, **kw
+            args.dir, args.gt_log, max_correspondences=args.max_corr,
+            out_log=args.out_log, **kw
         )
         print(json.dumps(metrics))
         return 0

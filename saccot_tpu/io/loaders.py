@@ -165,6 +165,23 @@ def load_kitti_poses(path: str) -> np.ndarray:
     return T
 
 
+def save_log(path: str, entries: Dict[Tuple[int, int], np.ndarray],
+             n_fragments: int) -> None:
+    """Write a 3DMatch/Redwood-style .log of estimated pair transforms.
+
+    The standard interchange format consumed by the public 3DMatch /
+    Redwood evaluation scripts: per pair a `i j n_fragments` header line
+    followed by the 4x4 transform (fragment j -> fragment i's frame, the
+    same direction `load_gt_log` reads). Counterpart of load_gt_log.
+    """
+    with open(path, "w") as f:
+        for (i, j) in sorted(entries):
+            T = np.asarray(entries[(i, j)], np.float64)
+            f.write(f"{i}\t{j}\t{n_fragments}\n")
+            for r in range(4):
+                f.write("\t".join(f"{v:.8e}" for v in T[r]) + "\n")
+
+
 def load_gt_log(path: str) -> Dict[Tuple[int, int], np.ndarray]:
     """3DMatch-style gt.log: blocks of `i j n` + 4 rows of 4 -> {(i,j): T}."""
     out: Dict[Tuple[int, int], np.ndarray] = {}

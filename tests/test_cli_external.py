@@ -108,3 +108,32 @@ def test_external_cli_entrypoint(scene, tmp_path, capsys, monkeypatch):
     records = [json.loads(ln) for ln in open(log_path)]
     assert len(records) == len(pairs)
     assert all(r["registered"] for r in records)
+
+
+def test_external_out_log_roundtrip(scene, tmp_path):
+    """--out-log writes a standard 3DMatch-style .log of the estimated
+    transforms that load_gt_log round-trips, with each entry matching the
+    corresponding gt transform (the run has recall 1.0)."""
+    from saccot_tpu.cli.external import run_external
+    from saccot_tpu.io.loaders import load_gt_log
+    from saccot_tpu.utils import se3np as _se3
+
+    frag_dir, gt_path, pairs = scene
+    params = SacCotParams(
+        compat_tau=0.05, min_separation=0.1, inlier_tau=0.05,
+        num_anchors=128, neighbors_per_anchor=12, max_hypotheses=512,
+        degree_block_rows=128,
+    )
+    out_log = str(tmp_path / "est.log")
+    out = run_external(
+        frag_dir, gt_path, params=params, max_correspondences=256, batch=4,
+        out_log=out_log,
+    )
+    assert out["recall"] == 1.0
+    est = load_gt_log(out_log)
+    gt = load_gt_log(gt_path)
+    assert set(est) == set(gt)
+    for key in gt:
+        E = est[key] @ np.linalg.inv(gt[key])
+        assert _se3.rotation_angle_deg(E[:3, :3]) < 2.0
+        assert np.linalg.norm(E[:3, 3]) < 0.05
