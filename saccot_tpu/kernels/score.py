@@ -32,8 +32,7 @@ def _score_kernel(
     r_ref,    # VMEM [9, TK] rotation entries (row-major)
     t_ref,    # VMEM [3, TK]
     p_ref,    # VMEM [3, TN] source points
-    q_ref,    # VMEM [3, TN] target points
-    m_ref,    # VMEM [1, TN] correspondence mask
+    q_ref,    # VMEM [3, TN] target points (masked columns pushed to 1e15)
     out_ref,  # VMEM [2, TK]: row 0 = counts, row 1 = weights
     *,
     tau: float,
@@ -45,7 +44,10 @@ def _score_kernel(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    m = m_ref[0, :][None, :]  # [1, TN]
+    # The correspondence mask is folded into q by the wrapper: invalid
+    # columns sit at 1e15, so their residual is ~1e30 — far past any tau —
+    # and they contribute exactly 0 to counts and weights without a
+    # per-entry mask multiply (or the mask input stream) in this kernel.
     # NOTE: an MXU formulation of the rotation application ([3,TK]x[3,TN]
     # dot_generals) was measured ~13% SLOWER end-to-end — contraction depth
     # 3 wastes the systolic array and HIGHEST precision multiplies passes.
@@ -58,13 +60,13 @@ def _score_kernel(
             acc += r_ref[3 * c + cc, :][:, None] * p_ref[cc, :][None, :]
         d2 = acc * acc if d2 is None else d2 + acc * acc
 
-    inl = jnp.where((d2 < tau * tau), 1.0, 0.0) * m
+    inl = jnp.where((d2 < tau * tau), 1.0, 0.0)
     out_ref[0, :] += jnp.sum(inl, axis=1)
     if need_weights:
         # Soft MSAC weights need the sqrt; skipped entirely in count mode
         # (row 1 is zero-initialized at j == 0 and left untouched).
         d = jnp.sqrt(d2)
-        wgt = jnp.maximum(0.0, 1.0 - d * (1.0 / tau)) * m
+        wgt = jnp.maximum(0.0, 1.0 - d * (1.0 / tau))
         out_ref[1, :] += jnp.sum(wgt, axis=1)
 
 
@@ -112,20 +114,22 @@ def score_hypotheses_pallas_soa(
     Kp = -(-K // tk) * tk
     Np = -(-N // tn) * tn
 
-    def padx(x, n, axis):
+    def padx(x, n, axis, value=0.0):
         pad = n - x.shape[axis]
         if pad <= 0:
             return x
         w = [(0, 0)] * x.ndim
         w[axis] = (0, pad)
-        return jnp.pad(x, w)
+        return jnp.pad(x, w, constant_values=value)
 
     m = jnp.ones((N,), jnp.float32) if mask is None else mask.astype(jnp.float32)
     r9 = padx(r9.astype(jnp.float32), Kp, 1)                  # [9, Kp]
     t3 = padx(t3.astype(jnp.float32), Kp, 1)                  # [3, Kp]
     pT = padx(P.astype(jnp.float32).T, Np, 1)
-    qT = padx(Q.astype(jnp.float32).T, Np, 1)
-    mp = padx(m[None, :], Np, 1)
+    # Mask folded into q (see kernel docstring): invalid correspondences'
+    # targets move to 1e15; column padding (constant 1e15) covers Np > N.
+    qT = jnp.where(m[None, :] > 0, Q.astype(jnp.float32).T, 1e15)
+    qT = padx(qT, Np, 1, value=1e15)
 
     grid = (Kp // tk, Np // tn)
     out = pl.pallas_call(
@@ -138,7 +142,6 @@ def score_hypotheses_pallas_soa(
             pl.BlockSpec((3, tk), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((2, tk), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, Kp), jnp.float32),
@@ -146,7 +149,7 @@ def score_hypotheses_pallas_soa(
         cost_estimate=pl.CostEstimate(
             flops=40 * Kp * Np, bytes_accessed=(Kp + Np) * 48, transcendentals=0
         ),
-    )(r9, t3, pT, qT, mp)
+    )(r9, t3, pT, qT)
 
     counts = out[0, :K]
     weights = out[1, :K]
