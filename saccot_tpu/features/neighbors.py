@@ -78,7 +78,13 @@ def knn(
             cols = jnp.arange(N)
             d2 = jnp.where(rows[:, None] == cols[None, :], BIG, d2)
         d2 = jnp.where(mb[:, None] > 0, d2, BIG)
-        if approx:
+        if k == 1:
+            # Nearest-neighbor-only (mesh resolution): a plain min/argmin
+            # beats the general top_k lowering; argmin's lowest-index
+            # tie-break matches top_k's exactly.
+            neg = -jnp.min(d2, axis=1, keepdims=True)
+            idx = jnp.argmin(d2, axis=1, keepdims=True)
+        elif approx:
             neg, idx = lax.approx_max_k(-d2, k)
         else:
             neg, idx = lax.top_k(-d2, k)
