@@ -118,17 +118,23 @@ def pool_model(
 def solve_model(n: int, k: int, batch: int = 1) -> Dict[str, float]:
     """Analytic cost of the fused 3-point solve (kernels/solve3.py).
 
-    MXU: the one-hot gather contraction, 2 clouds x (2 * 3 * Np * 3K)
-    MAC-flops at Precision.HIGHEST (~6 bf16 passes, so its effective peak
-    is mxu_bf16_flops / 6 — see ChipPeaks.highest_passes). VPU: the 9-entry
-    cross-covariance (~60 ops/hypothesis) plus the quaternion power
-    iteration run in XLA (~250 ops/hypothesis, engine/svd3.py).
+    MXU: the one-hot gather contraction — the single-block kernel streams
+    the exactly-3-way bf16-split coordinate array (18 rows per cloud-pair
+    layout, `_solve3_single`'s s18 input) through ONE single-pass bf16 dot,
+    so the MXU term is 1-pass (not the 6-pass Precision.HIGHEST model of
+    r3) and the HBM input term is 18 rows x Np bf16 entries, 3x the naive
+    6-row f32 count in bytes-per-coordinate but exact by construction.
+    VPU: the 9-entry cross-covariance (~60 ops/hypothesis) plus the
+    quaternion power iteration run in XLA (~250 ops/hypothesis,
+    engine/svd3.py).
     """
     n_pad = _pad128(n)
     return {
         "flops": batch * (60.0 + 250.0) * k,
         "mxu_flops": batch * 36.0 * n_pad * k,
-        "bytes": batch * (6 * n + 21 * k) * 4.0,
+        # 18 bf16 rows x Np per pair of clouds (the split array) + [K, 21]
+        # f32 out (9 cov + 12 transform).
+        "bytes": batch * (18 * n_pad * 2.0 + 21 * k * 4.0),
     }
 
 

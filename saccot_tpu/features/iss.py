@@ -52,10 +52,19 @@ def iss_keypoints(
     per scan removed).
     """
     N = points.shape[0]
+    # NMS gets one extra neighbor column when the shared set has it: its
+    # self slot is masked below, so k+1 columns keep the effective non-self
+    # neighborhood at k — matching the semantics of a dedicated
+    # exclude_self kNN (ADVICE r4: k columns left NMS with only k-1
+    # non-self comparisons).
+    k_nms = min(k + 1, N)
     if neighbors is None:
-        d, idx = knn(points, points, k=k, query_mask=mask, ref_mask=mask,
-                     exclude_self=False)
+        d_nms, idx_nms = knn(points, points, k=k_nms, query_mask=mask,
+                             ref_mask=mask, exclude_self=False)
+        d, idx = d_nms[:, :k], idx_nms[:, :k]
     else:
+        k_nms = min(k_nms, neighbors[0].shape[1])
+        d_nms, idx_nms = neighbors[0][:, :k_nms], neighbors[1][:, :k_nms]
         d, idx = neighbors[0][:, :k], neighbors[1][:, :k]
     valid = neighbor_validity(d, radius=salient_radius)
 
@@ -83,9 +92,9 @@ def iss_keypoints(
     # NMS: keep i iff l3_i >= l3_j for all non-self neighbors j within
     # nms_radius (the self slot — distance 0, same index — is masked out
     # of the shared neighbor set).
-    rows = jnp.arange(N, dtype=idx.dtype)[:, None]
-    in_nms = neighbor_validity(d, radius=nms_radius) & (idx != rows)
-    nbr_sal = jnp.where(in_nms, l3[idx], -jnp.inf)  # [N, k]
+    rows = jnp.arange(N, dtype=idx_nms.dtype)[:, None]
+    in_nms = neighbor_validity(d_nms, radius=nms_radius) & (idx_nms != rows)
+    nbr_sal = jnp.where(in_nms, l3[idx_nms], -jnp.inf)  # [N, k_nms]
     is_max = l3 >= jnp.max(nbr_sal, axis=-1)
     keep = salient & is_max
 

@@ -35,7 +35,7 @@ _es = functools.partial(jnp.einsum, precision=_lax.Precision.HIGHEST)
 
 from saccot_tpu.engine.sac_cot import RegistrationResult, register_batch
 from saccot_tpu.slam import se3
-from saccot_tpu.slam.ba import BAProblem, bundle_adjust, BAResult
+from saccot_tpu.slam.ba import BAProblem, bundle_adjust, BAResult, ba_cost
 from saccot_tpu.slam.posegraph import (
     PoseGraph, PGOResult, odometry_chain_init, optimize_pose_graph,
 )
@@ -145,6 +145,14 @@ def registrations_to_graph(
     info = None
     if edge_P is not None and edge_Q is not None:
         info = edge_information(reg, jnp.asarray(edge_P), jnp.asarray(edge_Q))
+        # The estimator's H whitens a right perturbation of T_est, but the
+        # graph residual r = log(Z^{-1} T_i^{-1} T_j) is a perturbation of
+        # Z = inv(T_est); transport: H_r = Ad(Z)^T H Ad(Z) (see
+        # se3.adjoint — Monte-Carlo-verified in tests/test_slam.py).
+        # Without this, edges with large translations feed a mis-rotated
+        # information to the chi^2_6-calibrated robust gates.
+        Ad = se3.adjoint(Z)
+        info = _es("eba,ebc,ecd->ead", Ad, info, Ad)
         info = jnp.where(
             ok[:, None, None], info,
             1e-6 * jnp.broadcast_to(jnp.eye(6, dtype=info.dtype), info.shape),
@@ -457,6 +465,18 @@ def run_sequence(
 
                 save_slam_state(ckpt_path, ba_res.poses, ba_res.landmarks,
                                 gn_iter=done, lam=float(np.asarray(lam)))
+        if ba_res is None:
+            # Resume found a checkpoint whose gn_iter already equals
+            # ba_iters: BA finished in a prior run and the while loop never
+            # entered. Synthesize the result from the restored state so
+            # callers can always read ba_result when run_ba is true.
+            c = ba_cost(prob.poses, prob.landmarks, prob,
+                        robust_delta=ba_robust)
+            ba_res = BAResult(
+                poses=prob.poses, landmarks=prob.landmarks,
+                initial_cost=c, final_cost=c,
+                lam=jnp.asarray(0.0 if lam is None else lam, jnp.float32),
+            )
         poses = prob.poses
     return SequenceResult(
         poses=poses,

@@ -171,6 +171,25 @@ def compose(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return _es("...ij,...jk->...ik", A, B)
 
 
+def adjoint(T: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint [..., 6, 6] for the (v, w) twist ordering of exp_se3.
+
+    T exp(xi^) T^{-1} = exp((adjoint(T) xi)^):
+        Ad(T) = [[R, hat(t) R], [0, R]].
+    Used to transport an information matrix between perturbation frames —
+    e.g. the estimator's information (right perturbation of T_est) to the
+    pose-graph residual r = log(Z^{-1} T_i^{-1} T_j) with Z = inv(T_est):
+    T_est = T_true exp(d) gives Z = exp(-d) Z_true, so
+    r = Ad(Z_true^{-1}) d and H_r = Ad(Z)^T H Ad(Z)
+    (verified by Monte-Carlo in tests/test_slam.py).
+    """
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    top = jnp.concatenate([R, _mm(hat(t), R)], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def apply(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """[..., 4, 4] x [..., N, 3] -> [..., N, 3]."""
     R = T[..., :3, :3]

@@ -55,6 +55,17 @@ class SweepCheckpointer:
     def __init__(self, path: Optional[str]):
         self.path = path
         self.done: Dict[int, Dict[str, np.ndarray]] = {}
+        if path and os.path.isfile(path):
+            # A regular file here is a pre-directory-format checkpoint (or a
+            # path collision). Silently ignoring it would discard prior
+            # progress and then record() would crash inside os.makedirs —
+            # fail loudly instead so the caller picks a fresh path or
+            # removes the stale file deliberately.
+            raise ValueError(
+                f"sweep checkpoint path {path!r} exists as a regular file; "
+                "this checkpointer stores one .npz per shard in a directory. "
+                "Remove the file or choose a different --ckpt path."
+            )
         if path and os.path.isdir(path):
             for name in sorted(os.listdir(path)):
                 # Temp files from a crash mid-record start with "." and are

@@ -472,3 +472,40 @@ def test_ba_scales_to_hundreds_of_poses():
         float(res.initial_cost), float(res.final_cost))
     poses = np.asarray(res.poses, np.float64)
     assert ate_rmse(poses, gt_poses) < 0.05
+
+
+def test_adjoint_transport_of_information():
+    """se3.adjoint + the H -> Ad(Z)^T H Ad(Z) transport in
+    registrations_to_graph (ADVICE r4): Monte-Carlo over right
+    perturbations of T_est, the empirical covariance of the graph residual
+    r = log(Z^{-1} Z_true) must match (Ad(Z)^T H Ad(Z))^{-1}."""
+    rng = np.random.default_rng(7)
+    T = rand_pose(rng, angle=0.9, trans=2.5)  # large translation on purpose
+    # A well-conditioned but anisotropic information for T's perturbation.
+    Aq = rng.normal(size=(6, 6))
+    H = Aq @ Aq.T + 6.0 * np.eye(6)
+    cov = np.linalg.inv(H)
+    Lc = np.linalg.cholesky(cov)
+    n = 20000
+    # Scale down so log's linearization error is negligible vs the spread.
+    scale = 0.02
+    delta = (rng.normal(size=(n, 6)) @ Lc.T) * scale  # cov = scale^2 * H^-1
+
+    T_est = se3.compose(jnp.asarray(T)[None], se3.exp_se3(jnp.asarray(
+        delta.astype(np.float32))))
+    Z = se3.inv(T_est)                      # measured Z per sample
+    Z_true = se3.inv(jnp.asarray(T))[None]
+    r = se3.log_se3(se3.compose(se3.inv(Z), Z_true))  # residual at GT poses
+    r = np.asarray(r, np.float64)
+    emp_cov = (r.T @ r) / n / scale**2       # undo the scale
+
+    Ad = np.asarray(se3.adjoint(se3.inv(jnp.asarray(T))), np.float64)
+    H_r = Ad.T @ H @ Ad
+    pred_cov = np.linalg.inv(H_r)
+    # Relative Frobenius agreement (MC error ~ 1/sqrt(n) ~ 1%).
+    err = np.linalg.norm(emp_cov - pred_cov) / np.linalg.norm(pred_cov)
+    assert err < 0.05, err
+    # And the *unconjugated* H would be wrong for this large-translation
+    # edge — guard that the transport actually matters.
+    err_raw = np.linalg.norm(emp_cov - cov) / np.linalg.norm(cov)
+    assert err_raw > 0.5, err_raw
