@@ -88,9 +88,14 @@ def _register_pair(
             )
         elif compat_impl == "pallas":
             from saccot_tpu.kernels.compat import degrees_pallas
+            # Passing None masks (not the all-ones m) when the caller gave
+            # no mask lets the MXU degree kernel skip its two per-entry
+            # mask multiplies entirely (~2.5 ms at N=50k).
             deg_local = degrees_pallas(
                 P, Q, P_full, Q_full, params,
-                row_offset=row_offset, mask_rows=m, mask_cols=m_full,
+                row_offset=row_offset,
+                mask_rows=None if mask is None else m,
+                mask_cols=None if mask is None else m_full,
             )
         else:
             deg_local = compat_mod.degrees(
@@ -337,10 +342,16 @@ def register_batch(
     every backend, and one trace per (shape, params) is the semantics every
     caller wants anyway.
     """
+    if mask is None:
+        # Keep mask=None visible to the estimator: the degree kernel then
+        # skips its per-entry mask multiplies (see _register_pair).
+        fn0 = lambda p, q: _register_pair(
+            p, q, None, params, compat_impl, score_impl,
+            pool_impl=pool_impl, solve_impl=solve_impl,
+        )
+        return jax.vmap(fn0)(P, Q)
     fn = lambda p, q, mk: _register_pair(
         p, q, mk, params, compat_impl, score_impl,
         pool_impl=pool_impl, solve_impl=solve_impl,
     )
-    if mask is None:
-        mask = jnp.ones(P.shape[:2], jnp.float32)
     return jax.vmap(fn)(P, Q, mask)

@@ -56,12 +56,29 @@ FLOPS_PER_COMPAT_ENTRY = 25.0
 FLOPS_PER_SCORE_ENTRY = 28.0
 
 
-def compat_degrees_model(n: int, batch: int = 1) -> Dict[str, float]:
+def compat_degrees_model(n: int, batch: int = 1, mxu: bool = True) -> Dict[str, float]:
     """FLOPs and minimum HBM traffic for one batched degree computation.
 
     Traffic is O(N) per pair: points in, degrees out — nothing quadratic
     (that is the point of the fused kernel).
+
+    mxu=True models the r5 Gram-trick kernel (`_degree_kernel_mxu`, the
+    default): the distance multiply-accumulates ride the MXU as two
+    depth-32 split-bf16 dots (mxu_flops below is inflated by 128/32 to
+    account for the systolic array's depth underutilization — the reported
+    MXU bound is achievable, not ideal-depth), and the VPU keeps a ~15
+    model-op tail (4 d^2 ops, 2 sqrt at ~3 op-equivalents each, threshold,
+    score, row-sum). Measured r5: the two bounds do NOT overlap in practice —
+    in-kernel dots and the elementwise tail execute mostly serially
+    (gram-only 12.9 ms + tail ~10 ms ~= full 23 ms at N=50k), so treat
+    max() as a hard floor and the sum as the no-overlap expectation.
     """
+    if mxu:
+        return {
+            "flops": 15.0 * batch * n * n,
+            "mxu_flops": batch * 2 * 2 * 32 * (128.0 / 32.0) * n * n,
+            "bytes": batch * (2 * n * 64 * 2 + 2 * n * 2 * 4 + n * 4),
+        }
     return {
         "flops": FLOPS_PER_COMPAT_ENTRY * batch * n * n,
         "bytes": batch * (2 * n * 3 + n) * 4.0,

@@ -31,6 +31,13 @@ from saccot_tpu.utils.params import SacCotParams
 
 TILE_R = 256
 TILE_C = 512
+# MXU-Gram kernel tiles: matrix rows = wide resident lane dim, columns
+# stream. (2048, 1024) measured fastest in the r5 sweep at N=50k (22.8 ms
+# vs 25-28 for narrower row blocks; VMEM fails above [1024, 2048] f32 G
+# blocks) while keeping pad waste small at both the 50k and 1k operating
+# points (scripts/exp_compat_ops.py).
+TR_MXU = 2048
+TC_MXU = 1024
 
 
 def _degree_kernel(
@@ -76,6 +83,138 @@ def _degree_kernel(
     out_ref[:] += jnp.sum(s, axis=1)[None, :]
 
 
+def _degree_kernel_mxu(
+    rowoff_ref,  # SMEM [1, 1] int32: global index of row 0
+    rf_ref,      # VMEM [64, TR] bf16 row features (see _gram_features)
+    nr_ref,      # VMEM [2, TR] f32 row squared norms (row 0 = P, row 1 = Q)
+    mr_ref,      # VMEM [1, TR] row mask
+    cf_ref,      # VMEM [64, TC] bf16 col features
+    nc_ref,      # VMEM [2, TC] f32 col squared norms
+    mc_ref,      # VMEM [1, TC] col mask
+    out_ref,     # VMEM [1, TR] accumulated degrees
+    *,
+    compat_tau: float,
+    min_sep: float,
+    self_test: bool,
+    has_mask: bool,
+):
+    """MXU-Gram variant of `_degree_kernel` (VERDICT r4 next #2).
+
+    The VPU kernel's per-entry cost is dominated by the two 3-coordinate
+    squared-distance evaluations (3 sub + 3 fma per cloud). Here those
+    multiply-accumulates ride the MXU instead: dp^2 = |p_i|^2 + |p_j|^2
+    - 2 p_i.p_j with the Gram blocks computed by ONE single-pass bf16
+    dot_general per cloud over exactly-3-way-bf16-split coordinates
+    (kernels/solve3._split3_f32's trick applied to a general product: the
+    contraction enumerates all 9 part-pair products, so each partial
+    product is exact in bf16xbf16->f32 and the result matches an f32 Gram
+    to accumulation rounding). The VPU keeps only the O(1)-per-entry tail:
+    two sqrts, the rigidity threshold, the affine score, and the row-sum —
+    ~9 ops/entry vs ~25 for the direct form.
+
+    Orientation receipts (r5, N=50k on v5e): per-step dot shapes bind the
+    stage via MXU issue latency, not MAC count — at the original
+    (TR=256, TC=512) tiles the two depth-32 dots alone cost 25.3 ms of the
+    35.7 ms kernel. Streaming the COLUMN features through a wide resident
+    row block ([TC, 32] x [32, TR] with TR up to 4096) amortizes that to
+    ~12 ms and the full kernel to ~23 ms vs 39.4 ms for the direct VPU
+    form (scripts/exp_compat_ops.py). G is therefore computed transposed:
+    [TC, TR], lane dim = matrix rows, accumulated over axis 0.
+
+    self_test=False drops the explicit i != j iota test: with min_sep > 0
+    and centered coordinates (the wrapper subtracts the row centroid) the
+    Gram cancellation noise on the self distance is ~|p|*7e-4 << min_sep,
+    so the separation gate already excludes self-pairs. has_mask=False
+    drops the two mask multiplies for unmasked calls. Together the two
+    flags are worth ~4.5 ms at N=50k.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    dn = (((0,), (0,)), ((), ()))
+    Gp = jax.lax.dot_general(
+        cf_ref[0:32, :], rf_ref[0:32, :], dn,
+        preferred_element_type=jnp.float32,
+    )  # [TC, TR]
+    Gq = jax.lax.dot_general(
+        cf_ref[32:64, :], rf_ref[32:64, :], dn,
+        preferred_element_type=jnp.float32,
+    )
+    dp2 = nc_ref[0, :][:, None] + nr_ref[0, :][None, :] - 2.0 * Gp
+    dq2 = nc_ref[1, :][:, None] + nr_ref[1, :][None, :] - 2.0 * Gq
+    dp = jnp.sqrt(jnp.maximum(dp2, 0.0))
+    dq = jnp.sqrt(jnp.maximum(dq2, 0.0))
+    delta = jnp.abs(dp - dq)
+    # max(0, 1 - delta/tau) folds the delta < tau test into the score.
+    s = jnp.maximum(1.0 - delta * (1.0 / compat_tau), 0.0)
+    ok = jnp.minimum(dp, dq) > min_sep
+
+    tr = out_ref.shape[1]
+    tc = dp2.shape[0]
+    if self_test:
+        row_ids = rowoff_ref[0, 0] + i * tr + jax.lax.broadcasted_iota(
+            jnp.int32, (tc, tr), 1)
+        col_ids = j * tc + jax.lax.broadcasted_iota(jnp.int32, (tc, tr), 0)
+        ok &= row_ids != col_ids
+
+    s = jnp.where(ok, s, 0.0)
+    if has_mask:
+        s = s * (mc_ref[0, :][:, None] * mr_ref[0, :][None, :])
+    out_ref[:] += jnp.sum(s, axis=0)[None, :]
+
+
+_PAD_SENTINEL = 1e15
+
+
+def _gram_features(P: jnp.ndarray, Q: jnp.ndarray, n_pad: int,
+                   center=(None, None), pad_scale: float = 1.0):
+    """Split-bf16 Gram features + f32 norms for the MXU degree kernel.
+
+    Returns (row_feat [64, n_pad] bf16, col_feat [64, n_pad] bf16,
+    norms [2, n_pad] f32). The contraction index d = (u, v, c) enumerates
+    part-pair (u, v) x coordinate c; row features carry part u (repeated
+    over v), col features part v (tiled over u), so a single depth-27
+    bf16 dot yields sum_{u,v} part_u . part_v = the exact f32 Gram.
+    Rows 0-26 (padded to 32) are cloud P, rows 32-58 (padded to 64) Q.
+
+    `center` (cp, cq) is subtracted before splitting: distances are
+    translation-invariant, and keeping |coords| at the scene radius keeps
+    the Gram's cancellation noise on tiny distances (self-pairs!) at
+    ~|p| * 7e-4, far below any positive min_separation in scene units.
+
+    Padded slots get coordinates (k * _PAD_SENTINEL,) * 3 with a DIFFERENT
+    multiple k per (cloud, side) via `pad_scale`: the P/Q pad distances of
+    any pair involving padding then differ by >= sqrt(3) * _PAD_SENTINEL,
+    so |dp - dq| >> tau deterministically (both distances round exactly in
+    f32 because real coordinates sit below the sentinel's ulp) and padded
+    entries contribute exactly 0 degree without any mask multiply.
+    """
+    from saccot_tpu.kernels.solve3 import _split3_f32
+
+    def feats(X, c, k):
+        xT = X.astype(jnp.float32).T
+        if c is not None:
+            xT = xT - c[:, None]
+        xT = _pad_to(xT, n_pad, 1, value=k * _PAD_SENTINEL)   # [3, n_pad]
+        h, m, l = _split3_f32(xT)
+        zeros = jnp.zeros((5, n_pad), jnp.float32)
+        row = jnp.concatenate([h, h, h, m, m, m, l, l, l, zeros], axis=0)
+        col = jnp.concatenate([h, m, l, h, m, l, h, m, l, zeros], axis=0)
+        norm = jnp.sum(xT * xT, axis=0, keepdims=True)        # [1, n_pad]
+        return row, col, norm
+
+    pr, pc, pn = feats(P, center[0], pad_scale)
+    qr, qc, qn = feats(Q, center[1], 2.0 * pad_scale)
+    row_feat = jnp.concatenate([pr, qr], axis=0).astype(jnp.bfloat16)
+    col_feat = jnp.concatenate([pc, qc], axis=0).astype(jnp.bfloat16)
+    norms = jnp.concatenate([pn, qn], axis=0)
+    return row_feat, col_feat, norms
+
+
 def _pad_to(x: jnp.ndarray, n: int, axis: int, value=0.0) -> jnp.ndarray:
     pad = n - x.shape[axis]
     if pad <= 0:
@@ -95,14 +234,23 @@ def degrees_pallas(
     mask_rows: Optional[jnp.ndarray] = None,
     mask_cols: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
+    mxu: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Drop-in replacement for engine.compat.degrees (same contract).
 
     Falls back to interpret mode automatically off-TPU so the CPU test mesh
     exercises the identical kernel logic.
+
+    mxu selects the Gram-trick kernel (`_degree_kernel_mxu`): the two O(N^2)
+    distance multiply-accumulates ride the MXU via split-bf16 exact Grams
+    and the VPU keeps only the threshold/score tail. Default True — measured
+    1.9x at N=50k and ~1.2x at N=1000 over the direct-form VPU kernel at
+    equal recall (BASELINE.md r5 receipts); pass False for the direct form.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if mxu is None:
+        mxu = True
 
     R = P_rows.shape[0]
     C = P_cols.shape[0]
@@ -114,17 +262,70 @@ def degrees_pallas(
     mr = jnp.ones((R,), jnp.float32) if mask_rows is None else mask_rows.astype(jnp.float32)
     mc = jnp.ones((C,), jnp.float32) if mask_cols is None else mask_cols.astype(jnp.float32)
 
+    rowoff = jnp.asarray(row_offset, jnp.int32).reshape(1, 1)
+
+    if mxu:
+        # Matrix rows are the wide resident side (lane dim of the
+        # transposed G), columns stream: see _degree_kernel_mxu receipts.
+        tr_m = min(TR_MXU, -(-R // 128) * 128)
+        tc_m = min(TC_MXU, -(-C // 128) * 128)
+        Rp_m = -(-R // tr_m) * tr_m
+        Cp_m = -(-C // tc_m) * tc_m
+        has_mask = mask_rows is not None or mask_cols is not None
+        # min_sep > 0 excludes self-pairs via the separation gate; the
+        # explicit id test is only needed for min_sep == 0 (see kernel
+        # docstring noise-floor argument; coordinates are centered below).
+        self_test = float(params.min_separation) <= 0.0
+        # One shared center for rows and cols (distances are invariant);
+        # rows are the stable side across ring steps.
+        ctr_p = jnp.mean(P_rows.astype(jnp.float32), axis=0)
+        ctr_q = jnp.mean(Q_rows.astype(jnp.float32), axis=0)
+        rf, _, nr = _gram_features(P_rows, Q_rows, Rp_m, (ctr_p, ctr_q),
+                                   pad_scale=4.0)
+        _, cf, nc = _gram_features(P_cols, Q_cols, Cp_m, (ctr_p, ctr_q),
+                                   pad_scale=1.0)
+        mrp = _pad_to(mr[None, :], Rp_m, 1)
+        mcp = _pad_to(mc[None, :], Cp_m, 1)
+        grid = (Rp_m // tr_m, Cp_m // tc_m)
+        out = pl.pallas_call(
+            functools.partial(
+                _degree_kernel_mxu,
+                compat_tau=float(params.compat_tau),
+                min_sep=float(params.min_separation),
+                self_test=self_test,
+                has_mask=has_mask,
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((64, tr_m), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, tr_m), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tr_m), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((64, tc_m), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, tc_m), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tc_m), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tr_m), lambda i, j: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, Rp_m), jnp.float32),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=9 * Rp_m * Cp_m + 2 * 2 * 32 * Rp_m * Cp_m,
+                bytes_accessed=(Rp_m + Cp_m) * 140,
+                transcendentals=0,
+            ),
+        )(rowoff, rf, nr, mrp, cf, nc, mcp)
+        return out[0, :R]
+
+    grid = (Rp // tr, Cp // tc)
+    mrp = _pad_to(mr[None, :], Rp, 1)
+    mcp = _pad_to(mc[None, :], Cp, 1)
     # Coordinate-major layout + padding. Padded rows are masked to 0 degree;
     # padded cols get mask 0 so they contribute nothing.
     prT = _pad_to(P_rows.astype(jnp.float32).T, Rp, 1)
     qrT = _pad_to(Q_rows.astype(jnp.float32).T, Rp, 1)
     pcT = _pad_to(P_cols.astype(jnp.float32).T, Cp, 1)
     qcT = _pad_to(Q_cols.astype(jnp.float32).T, Cp, 1)
-    mrp = _pad_to(mr[None, :], Rp, 1)
-    mcp = _pad_to(mc[None, :], Cp, 1)
-    rowoff = jnp.asarray(row_offset, jnp.int32).reshape(1, 1)
-
-    grid = (Rp // tr, Cp // tc)
     out = pl.pallas_call(
         functools.partial(
             _degree_kernel,

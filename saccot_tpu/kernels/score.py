@@ -24,8 +24,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_K = 256
-TILE_N = 512
+TILE_K = 1024
+TILE_N = 1024
 
 
 def _score_kernel(
@@ -52,22 +52,30 @@ def _score_kernel(
     # dot_generals) was measured ~13% SLOWER end-to-end — contraction depth
     # 3 wastes the systolic array and HIGHEST precision multiplies passes.
     # Broadcast FMAs on the VPU are the right shape for this stage.
+    #
+    # Layout (r5): the score field is [TN (sublanes), TK (lanes)] — the
+    # per-hypothesis scalars r/t arrive lane-major ([9|3, TK]) and
+    # broadcast along sublanes with NO relayout; only the 6 point
+    # coordinate rows need a lane->sublane transpose per N block. The
+    # previous [TK, TN] orientation transposed all 12 hypothesis rows per
+    # K tile instead: 2.57 -> 2.08 ms standalone at the bench shape, with
+    # large (1024, 1024) tiles (shape sweep, r5).
     d2 = None
     for c in range(3):
-        # x'_c = R[c,0] px + R[c,1] py + R[c,2] pz + t_c - q_c, all [TK, TN]
-        acc = t_ref[c, :][:, None] - q_ref[c, :][None, :]
+        # x'_c = R[c,0] px + R[c,1] py + R[c,2] pz + t_c - q_c, all [TN, TK]
+        acc = t_ref[c, :][None, :] - q_ref[c, :][:, None]
         for cc in range(3):
-            acc += r_ref[3 * c + cc, :][:, None] * p_ref[cc, :][None, :]
+            acc += r_ref[3 * c + cc, :][None, :] * p_ref[cc, :][:, None]
         d2 = acc * acc if d2 is None else d2 + acc * acc
 
     inl = jnp.where((d2 < tau * tau), 1.0, 0.0)
-    out_ref[0, :] += jnp.sum(inl, axis=1)
+    out_ref[0, :] += jnp.sum(inl, axis=0)
     if need_weights:
         # Soft MSAC weights need the sqrt; skipped entirely in count mode
         # (row 1 is zero-initialized at j == 0 and left untouched).
         d = jnp.sqrt(d2)
         wgt = jnp.maximum(0.0, 1.0 - d * (1.0 / tau))
-        out_ref[1, :] += jnp.sum(wgt, axis=1)
+        out_ref[1, :] += jnp.sum(wgt, axis=0)
 
 
 def score_hypotheses_pallas(
@@ -109,8 +117,8 @@ def score_hypotheses_pallas_soa(
 
     K = r9.shape[1]
     N = P.shape[0]
-    tk = min(TILE_K, max(128, K))
-    tn = min(TILE_N, max(128, N))
+    tk = min(TILE_K, max(128, -(-K // 128) * 128))
+    tn = min(TILE_N, max(128, -(-N // 128) * 128))
     Kp = -(-K // tk) * tk
     Np = -(-N // tn) * tn
 
