@@ -334,44 +334,55 @@ def _rank_candidates(
         )
         return _select_topk(tri_cols, ss, params)
 
-    # Canonicalize and flatten the candidate pool.
-    tri = jnp.sort(
-        jnp.stack([i, j, k], axis=-1).reshape(-1, 3).astype(jnp.int32), axis=-1
-    )  # [C, 3] with i<j<k
+    # Canonicalize with a 3-element min/max sorting network on the flat
+    # index columns — jnp.sort over a size-3 trailing axis lowers to a
+    # relayout-heavy tiny bitonic sort, measured ~0.9 ms/batch at the
+    # bench point vs ~0.1 for the 6 min/max ops (r5 receipts).
+    fi = i.reshape(-1).astype(jnp.int32)
+    fj = j.reshape(-1).astype(jnp.int32)
+    fk = k.reshape(-1).astype(jnp.int32)
+    a0 = jnp.minimum(fi, fj)
+    b0 = jnp.maximum(fi, fj)
+    lo2 = jnp.minimum(b0, fk)
+    hi = jnp.maximum(b0, fk)
+    lo = jnp.minimum(a0, lo2)
+    mid = jnp.maximum(a0, lo2)
 
-    # Score prefilter before the (expensive) lexicographic sort: a
-    # triangle {a,b,c} enters the candidate list at most 3 times (once
-    # per anchor in it, each anchor contributing each unordered
-    # neighbor pair once), and all copies carry an identical score —
-    # edge scores are symmetric functions of the points. So every
-    # member of the deduped top-K is guaranteed to appear within the
-    # top-3K raw candidates, and deduping only those is exact. This
-    # cuts the dominant sort from C = A*B*(B-1)/2 elements to 3K.
-    pre = min(3 * K, score.shape[0])
-    if pre < score.shape[0]:
-        score, keep = lax.top_k(score, pre)
-        tri = tri[keep]
-    # Lexicographic de-dup: sort by (i, j, k), invalidate non-first
-    # copies. All copies of one triangle carry the same score, so
-    # keeping the first is exact. Sort cost scales with the operand
-    # count, so the canonical triple is packed into as few int32 keys
-    # as the node-index range allows (sort of packed keys orders
-    # identically to the 3-key lexicographic sort): one key when
-    # Nn^3 < 2^31, two when Nn^2 + Nn < 2^31, else the plain 3 keys.
-    # Both packings are exact bijections, decoded after the sort.
+    # Lexicographic de-dup WITHOUT a top-3K score prefilter: r5 receipts
+    # (scripts/exp_exact_breakdown.py method) showed the exact
+    # top_k(C -> 3K) prefilter costs ~4 ms/batch — more than sorting the
+    # WHOLE candidate list once — and gathering tri[keep] through the
+    # prefilter's indices costs more still. So: pack the canonical triple
+    # into as few int32 keys as the node range allows, ONE stable sort of
+    # (keys..., score) over all C candidates, adjacent-equality dedup, and
+    # a final exact top-K. Invalid candidates (score <= 0) get a sentinel
+    # key above every real key so they can never sort adjacent to a real
+    # triangle and absorb its first-copy slot (their score is -1, so they
+    # lose the final top-K regardless). All copies of one triangle carry
+    # an identical score — edge scores are symmetric functions of the
+    # points — so keeping the first sorted copy is exact.
     Nn = n_nodes
+    invalid = score <= 0.0
     if Nn is not None and Nn <= _PACK1_MAX_NODES:
-        key = (tri[:, 0] * Nn + tri[:, 1]) * Nn + tri[:, 2]
+        key = (lo * Nn + mid) * Nn + hi
+        key = jnp.where(invalid, jnp.int32(2147483647), key)
         key, ss = lax.sort((key, score), num_keys=1)
         dup = jnp.concatenate(
             [jnp.zeros((1,), dtype=bool), key[1:] == key[:-1]]
         )
         ss = jnp.where(dup, -1.0, ss)
-        rem = key % (Nn * Nn)
-        tri_cols = (key // (Nn * Nn), rem // Nn, rem % Nn)
+        # Select BEFORE decoding: one [K]-gather of the packed key instead
+        # of three decoded-column gathers (XLA TPU gathers dominate this
+        # tail — r5 receipts).
+        top_s, top_i = _topk_fn(ss, params)
+        keysel = jnp.minimum(key[top_i], Nn * Nn * Nn - 1)
+        rem = keysel % (Nn * Nn)
+        tri_cols = (keysel // (Nn * Nn), rem // Nn, rem % Nn)
+        return _pool_from_selected(tri_cols, top_s, params)
     elif Nn is not None and Nn <= _PACK2_MAX_NODES:
-        kjk = tri[:, 1] * Nn + tri[:, 2]
-        si, kjk, ss = lax.sort((tri[:, 0], kjk, score), num_keys=2)
+        kjk = mid * Nn + hi
+        silo = jnp.where(invalid, jnp.int32(2147483647), lo)
+        si, kjk, ss = lax.sort((silo, kjk, score), num_keys=2)
         dup = jnp.concatenate(
             [
                 jnp.zeros((1,), dtype=bool),
@@ -379,11 +390,14 @@ def _rank_candidates(
             ]
         )
         ss = jnp.where(dup, -1.0, ss)
-        tri_cols = (si, kjk // Nn, kjk % Nn)
+        top_s, top_i = _topk_fn(ss, params)
+        sisel = jnp.minimum(si[top_i], Nn - 1)
+        kjksel = kjk[top_i]
+        tri_cols = (sisel, kjksel // Nn, kjksel % Nn)
+        return _pool_from_selected(tri_cols, top_s, params)
     else:
-        si, sj, sk, ss = lax.sort(
-            (tri[:, 0], tri[:, 1], tri[:, 2], score), num_keys=3
-        )
+        silo = jnp.where(invalid, jnp.int32(2147483647), lo)
+        si, sj, sk, ss = lax.sort((silo, mid, hi, score), num_keys=3)
         dup = jnp.concatenate(
             [
                 jnp.zeros((1,), dtype=bool),
@@ -391,6 +405,8 @@ def _rank_candidates(
             ]
         )
         ss = jnp.where(dup, -1.0, ss)
+        if Nn is not None:
+            si = jnp.minimum(si, Nn - 1)
         tri_cols = (si, sj, sk)
     return _select_topk(tri_cols, ss, params)
 
@@ -441,16 +457,23 @@ def _pool_from_preranked(
     return TrianglePool(triples=triples, scores=top_s, valid=top_s > 0)
 
 
-def _select_topk(tri_cols, ss, params: SacCotParams) -> TrianglePool:
-    K = params.max_hypotheses
-    k_sel = min(K, ss.shape[0])
+def _topk_fn(ss, params: SacCotParams):
+    k_sel = min(params.max_hypotheses, ss.shape[0])
     if params.approx_topk:
-        top_s, top_i = lax.approx_max_k(ss, k_sel)
-    else:
-        top_s, top_i = lax.top_k(ss, k_sel)
-    triples = jnp.stack([c[top_i] for c in tri_cols], axis=-1)
+        return lax.approx_max_k(ss, k_sel)
+    return lax.top_k(ss, k_sel)
+
+
+def _pool_from_selected(tri_cols, top_s, params: SacCotParams) -> TrianglePool:
+    K = params.max_hypotheses
+    triples = jnp.stack(tri_cols, axis=-1).astype(jnp.int32)
     if top_s.shape[0] < K:  # pad to the static budget
         pad = K - top_s.shape[0]
         triples = jnp.concatenate([triples, jnp.zeros((pad, 3), jnp.int32)], axis=0)
         top_s = jnp.concatenate([top_s, jnp.full((pad,), -1.0, top_s.dtype)], axis=0)
     return TrianglePool(triples=triples, scores=top_s, valid=top_s > 0)
+
+
+def _select_topk(tri_cols, ss, params: SacCotParams) -> TrianglePool:
+    top_s, top_i = _topk_fn(ss, params)
+    return _pool_from_selected([c[top_i] for c in tri_cols], top_s, params)
