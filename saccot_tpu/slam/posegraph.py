@@ -167,6 +167,65 @@ def _assemble_normal_system(
     return H, bvec
 
 
+def _edge_blocks(poses, graph: PoseGraph, robust: Optional[str], delta: float):
+    """Per-edge GN blocks for the matrix-free path.
+
+    Returns (J_i, J_j, LJ_i, LJ_j, b [M, 6], Pdiag [M, 6, 6]) with L the
+    (robust-reweighted) information folded into LJ = L J. Nothing
+    [M, M]-shaped is ever built: b and the block-diagonal preconditioner
+    Pdiag come from two segment-sums over the 2E edge endpoints.
+    """
+    M = poses.shape[0]
+    Ti = poses[graph.edge_i]
+    Tj = poses[graph.edge_j]
+    r, J_i, J_j = jax.vmap(_edge_jacobians)(Ti, Tj, graph.meas)
+
+    omega = robust_weight(_edge_sq_error(r, graph), robust, delta)  # [E]
+    if graph.info is not None:
+        L = graph.info * omega[:, None, None]
+        LJ_i = _es("eab,ebc->eac", L, J_i)
+        LJ_j = _es("eab,ebc->eac", L, J_j)
+        Lr = _es("eab,eb->ea", L, r)
+    else:
+        w = (graph.weight * omega)[:, None, None]
+        LJ_i, LJ_j = w * J_i, w * J_j
+        Lr = (graph.weight * omega)[:, None] * r
+
+    seg = jnp.concatenate([graph.edge_i, graph.edge_j])
+    b = jax.ops.segment_sum(
+        jnp.concatenate(
+            [_es("eba,eb->ea", J_i, Lr), _es("eba,eb->ea", J_j, Lr)], axis=0
+        ),
+        seg, num_segments=M,
+    )  # [M, 6]
+    Pdiag = jax.ops.segment_sum(
+        jnp.concatenate(
+            [_es("eba,ebc->eac", J_i, LJ_i), _es("eba,ebc->eac", J_j, LJ_j)],
+            axis=0,
+        ),
+        seg, num_segments=M,
+    )  # [M, 6, 6]
+    return J_i, J_j, LJ_i, LJ_j, b, Pdiag
+
+
+def _pgo_matvec(x, J_i, J_j, LJ_i, LJ_j, graph, lam, free, M):
+    """y = (H + lam I) x, gauge-projected: one edge stream + one
+    segment-sum — O(E) work, O(M) memory per CG step (the pose-graph
+    analog of slam/ba._schur_matvec; VERDICT r4 next #4). On pinned
+    coordinates the operator is the identity so CG leaves them fixed."""
+    xm = x * free                                            # [M, 6]
+    u = _es("eab,eb->ea", LJ_i, xm[graph.edge_i]) + _es(
+        "eab,eb->ea", LJ_j, xm[graph.edge_j])                # [E, 6] = L J x
+    y = jax.ops.segment_sum(
+        jnp.concatenate(
+            [_es("eba,eb->ea", J_i, u), _es("eba,eb->ea", J_j, u)], axis=0
+        ),
+        jnp.concatenate([graph.edge_i, graph.edge_j]),
+        num_segments=M,
+    )
+    return (y + lam * xm) * free + (1.0 - free) * x
+
+
 class PGOResult(NamedTuple):
     poses: jnp.ndarray          # [M, 4, 4] optimized
     final_cost: jnp.ndarray     # scalar: sum of weighted squared residuals
@@ -192,13 +251,26 @@ def graph_cost(
     return jnp.sum(robust_cost(_edge_sq_error(r, graph), robust, delta))
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "robust"))
+# Above this pose count optimize_pose_graph defaults to the matrix-free
+# PCG solver: the dense [6M, 6M] assembly + LU is O(M^2) memory / O(M^3)
+# flops per GN step and stops scaling around a few hundred poses; the
+# edge-streamed CG is O(E) per step (VERDICT r4 next #4). Below it the
+# dense direct solve is both exact and faster (no CG iterations).
+DENSE_PGO_MAX_POSES = 64
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "robust", "solver", "cg_iters")
+)
 def optimize_pose_graph(
     graph: PoseGraph,
     iters: int = 10,
     damping: float = 1e-6,
     robust: Optional[str] = None,
     delta: float = 1.0,
+    solver: Optional[str] = None,
+    cg_iters: int = 96,
+    cg_tol: float = 1e-8,
 ) -> PGOResult:
     """Gauss-Newton with pose-0 gauge fix, fixed iteration count, one jit.
 
@@ -209,22 +281,54 @@ def optimize_pose_graph(
     transform) use "dcs": it is redescending, driving such an edge's
     influence to ~zero; Huber's linear tail only tempers it.
 
+    solver: "dense" (assemble [6M, 6M], direct solve), "pcg" (matrix-free
+    edge-streamed CG with block-Jacobi preconditioner — cost linear in E,
+    memory linear in M; the KITTI-scale path), or None = auto by
+    DENSE_PGO_MAX_POSES. Both run the identical LM accept/reject loop;
+    parity is tested to ~1e-4 ATE on mid-size graphs.
+
     Damping is Levenberg-Marquardt-adaptive: a rejected step multiplies the
     damping by 10 and retries smaller next iteration (instead of deadlocking
     on the same rejected full GN step), an accepted step relaxes it.
     """
     M = graph.poses.shape[0]
+    if solver is None:
+        solver = "dense" if M <= DENSE_PGO_MAX_POSES else "pcg"
     initial_cost = graph_cost(graph.poses, graph, robust, delta)
+    eye6 = jnp.eye(6, dtype=graph.poses.dtype)
 
-    def gn_step(state, _):
-        poses, cost, lam = state  # cost of `poses`, carried to avoid recompute
+    def solve_dense(poses, lam):
         H, b = _assemble_normal_system(poses, graph, robust, delta)
         # Gauge: pin pose 0 by masking its rows/cols and unit diagonal.
         free = (jnp.arange(M * 6) >= 6).astype(poses.dtype)
         H = H * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
         b = b * free
         H = H + lam * jnp.eye(M * 6, dtype=poses.dtype)
-        dx = jnp.linalg.solve(H, -b).reshape(M, 6)
+        return jnp.linalg.solve(H, -b).reshape(M, 6)
+
+    def solve_pcg(poses, lam):
+        J_i, J_j, LJ_i, LJ_j, b, Pdiag = _edge_blocks(
+            poses, graph, robust, delta)
+        free = (jnp.arange(M) >= 1).astype(poses.dtype)[:, None]  # [M, 1]
+        Pdiag = Pdiag + lam * eye6[None]
+        Pdiag = jnp.where(free[:, :, None] > 0, Pdiag, eye6[None])
+        Pinv = jnp.linalg.inv(Pdiag)
+
+        def matvec(x):
+            return _pgo_matvec(x, J_i, J_j, LJ_i, LJ_j, graph, lam, free, M)
+
+        def precond(x):
+            return _es("mab,mb->ma", Pinv, x * free) + (1.0 - free) * x
+
+        dx, _ = jax.scipy.sparse.linalg.cg(
+            matvec, -b * free, tol=cg_tol, maxiter=cg_iters, M=precond
+        )
+        return dx * free
+
+    def gn_step(state, _):
+        poses, cost, lam = state  # cost of current iterate, carried
+        dx = solve_dense(poses, lam) if solver == "dense" else solve_pcg(
+            poses, lam)
         new_poses = se3.compose(poses, se3.exp_se3(dx))
         # LM accept/reject (branchless select).
         new_cost = graph_cost(new_poses, graph, robust, delta)

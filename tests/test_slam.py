@@ -509,3 +509,33 @@ def test_adjoint_transport_of_information():
     # edge — guard that the transport actually matters.
     err_raw = np.linalg.norm(emp_cov - cov) / np.linalg.norm(cov)
     assert err_raw > 0.5, err_raw
+
+
+def test_pgo_pcg_matches_dense():
+    """Matrix-free PCG pose graph == dense direct solve (VERDICT r4 #4):
+    same LM loop, same trajectory to ~CG tolerance, on a mid-size graph
+    with full information matrices and a robust loss."""
+    graph, gt = _make_pg_problem(seed=3, M=40)
+    dense = optimize_pose_graph(graph, iters=10, robust="huber", delta=3.0,
+                                solver="dense")
+    pcg = optimize_pose_graph(graph, iters=10, robust="huber", delta=3.0,
+                              solver="pcg", cg_iters=128)
+    ate_d = ate_rmse(np.asarray(dense.poses, np.float64), gt)
+    ate_p = ate_rmse(np.asarray(pcg.poses, np.float64), gt)
+    assert abs(ate_d - ate_p) < 2e-3, (ate_d, ate_p)
+    assert float(pcg.final_cost) <= float(pcg.initial_cost)
+    np.testing.assert_allclose(
+        np.asarray(pcg.poses), np.asarray(dense.poses), atol=5e-3)
+
+
+def test_pgo_pcg_scales_to_hundreds_of_poses():
+    """The auto-selected PCG path handles M in the hundreds where the
+    dense [6M, 6M] assembly stopped scaling — M=256 with loop closures,
+    convergence to GT within noise."""
+    graph, gt = _make_pg_problem(seed=9, M=256, noise=0.02)
+    res = optimize_pose_graph(graph, iters=12)  # auto -> pcg at M=256
+    assert float(res.final_cost) < float(res.initial_cost)
+    ate_opt = ate_rmse(np.asarray(res.poses, np.float64), gt)
+    ate_init = ate_rmse(np.asarray(graph.poses, np.float64), gt)
+    assert ate_opt < 0.5 * ate_init, (ate_opt, ate_init)
+    assert ate_opt < 0.2, ate_opt
