@@ -27,12 +27,27 @@ def _angle_bins(x: jnp.ndarray, lo: float, hi: float) -> jnp.ndarray:
     return jnp.clip(((x - lo) / (hi - lo) * _BINS).astype(jnp.int32), 0, _BINS - 1)
 
 
+def _angle_bins_soft(x: jnp.ndarray, lo: float, hi: float):
+    """Linear-interpolated (clamped) bin split: ((lo_i, w_lo), (hi_i, w_hi)).
+
+    The soft counterpart of _angle_bins (r5, VERDICT #5): noise that moves
+    an angle across a bin edge shifts weight continuously instead of
+    flipping a whole count."""
+    c = jnp.clip((x - lo) / (hi - lo), 0.0, 1.0) * _BINS - 0.5
+    f0 = jnp.floor(c)
+    f = c - f0
+    lo_i = jnp.clip(f0.astype(jnp.int32), 0, _BINS - 1)
+    hi_i = jnp.clip(f0.astype(jnp.int32) + 1, 0, _BINS - 1)
+    return (lo_i, 1.0 - f), (hi_i, f)
+
+
 def spfh(
     points: jnp.ndarray,
     normals: jnp.ndarray,
     idx: jnp.ndarray,
     valid: jnp.ndarray,
     dist: jnp.ndarray,
+    soft: bool = False,
 ) -> jnp.ndarray:
     """Simplified point feature histograms [N, 33]."""
     N, k = idx.shape
@@ -53,16 +68,28 @@ def spfh(
     phi = jnp.sum(u * pq, axis=-1)               # [-1, 1]
     theta = jnp.arctan2(jnp.sum(w * nq, axis=-1), jnp.sum(u * nq, axis=-1))  # [-pi, pi]
 
-    b_alpha = _angle_bins(alpha, -1.0, 1.0)
-    b_phi = _angle_bins(phi, -1.0, 1.0) + _BINS
-    b_theta = _angle_bins(theta, -jnp.pi, jnp.pi) + 2 * _BINS
-
     wgt = valid.astype(jnp.float32)
     rows = jnp.arange(N, dtype=jnp.int32)[:, None] * FPFH_DIM
-    seg = jnp.concatenate(
-        [(rows + b_alpha).reshape(-1), (rows + b_phi).reshape(-1), (rows + b_theta).reshape(-1)]
-    )
-    vals = jnp.concatenate([wgt.reshape(-1)] * 3)
+    if soft:
+        segs, vals_l = [], []
+        for x, lo_v, hi_v, off in [
+            (alpha, -1.0, 1.0, 0),
+            (phi, -1.0, 1.0, _BINS),
+            (theta, -float(jnp.pi), float(jnp.pi), 2 * _BINS),
+        ]:
+            for b_i, b_w in _angle_bins_soft(x, lo_v, hi_v):
+                segs.append((rows + b_i + off).reshape(-1))
+                vals_l.append((wgt * b_w).reshape(-1))
+        seg = jnp.concatenate(segs)
+        vals = jnp.concatenate(vals_l)
+    else:
+        b_alpha = _angle_bins(alpha, -1.0, 1.0)
+        b_phi = _angle_bins(phi, -1.0, 1.0) + _BINS
+        b_theta = _angle_bins(theta, -jnp.pi, jnp.pi) + 2 * _BINS
+        seg = jnp.concatenate(
+            [(rows + b_alpha).reshape(-1), (rows + b_phi).reshape(-1), (rows + b_theta).reshape(-1)]
+        )
+        vals = jnp.concatenate([wgt.reshape(-1)] * 3)
     hist = jax.ops.segment_sum(vals, seg, num_segments=N * FPFH_DIM).reshape(N, FPFH_DIM)
     # Normalize each point's histogram by its neighbor count (x3 angle blocks).
     cnt = jnp.maximum(jnp.sum(wgt, axis=-1, keepdims=True), 1.0)
@@ -77,12 +104,16 @@ def fpfh_descriptors(
     k: int = 32,
     mask: Optional[jnp.ndarray] = None,
     approx: bool = False,
+    soft: bool = False,
 ) -> jnp.ndarray:
-    """FPFH descriptors [M, 33] at keypoint indices `kp_idx`."""
+    """FPFH descriptors [M, 33] at keypoint indices `kp_idx`.
+
+    soft=True linearly interpolates each angle across its two nearest bins
+    (see _angle_bins_soft) instead of hard binning."""
     d, idx = knn(points, points, k=k, query_mask=mask, ref_mask=mask,
                  exclude_self=True, approx=approx)
     valid = neighbor_validity(d, radius=radius)
-    s = spfh(points, normals, idx, valid, d)  # [N, 33]
+    s = spfh(points, normals, idx, valid, d, soft=soft)  # [N, 33]
 
     # Weighted neighbor pooling: FPFH_i = SPFH_i + mean_j SPFH_j / dist_ij.
     wgt = valid.astype(jnp.float32) / jnp.maximum(d, 1e-9)

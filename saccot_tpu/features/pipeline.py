@@ -62,6 +62,11 @@ class PipelineConfig:
     descriptor: str = "shot"         # "shot" | "fpfh"
     descriptor_radius_mult: float = 8.0
     descriptor_k: int = 64
+    # Soft (linear-interpolated) histogram binning for SHOT/FPFH: the
+    # PCL-style robustness mechanism. Default ON since the r5 noise-sweep
+    # A/B (scripts/exp_shot_soft.py) measured it strictly better at high
+    # noise at negligible cost; set False for the hard-binned variant.
+    descriptor_soft: bool = True
 
     # matching
     max_correspondences: int = 1024
@@ -151,11 +156,13 @@ def extract_features(
     if cfg.descriptor == "shot":
         desc = shot_descriptors(points, normals, kps.idx, r_desc,
                                 k=cfg.descriptor_k, mask=mask,
-                                approx=cfg.approx_knn)
+                                approx=cfg.approx_knn,
+                                soft=cfg.descriptor_soft)
     else:
         desc = fpfh_descriptors(points, normals, kps.idx, r_desc,
                                 k=cfg.descriptor_k, mask=mask,
-                                approx=cfg.approx_knn)
+                                approx=cfg.approx_knn,
+                                soft=cfg.descriptor_soft)
     return kps, desc
 
 

@@ -63,6 +63,25 @@ def local_reference_frames(
     return jnp.stack([x, y, z], axis=-2)  # [M, 3(axes), 3(coords)]
 
 
+def _soft_axis(c, nbins: int, wrap: bool):
+    """Linear-interpolation split of continuous bin coordinate c in
+    [0, nbins): returns ((lo_idx, w_lo), (hi_idx, w_hi)). Bin centers sit
+    at i + 0.5; `wrap` wraps the neighbor bin (azimuth), else it clamps
+    (mass merges into the edge bin, preserving the total)."""
+    cc = c - 0.5
+    lo = jnp.floor(cc)
+    f = cc - lo
+    lo_i = lo.astype(jnp.int32)
+    hi_i = lo_i + 1
+    if wrap:
+        lo_i = jnp.mod(lo_i, nbins)
+        hi_i = jnp.mod(hi_i, nbins)
+    else:
+        lo_i = jnp.clip(lo_i, 0, nbins - 1)
+        hi_i = jnp.clip(hi_i, 0, nbins - 1)
+    return (lo_i, 1.0 - f), (hi_i, f)
+
+
 def shot_descriptors(
     points: jnp.ndarray,
     normals: jnp.ndarray,
@@ -71,11 +90,19 @@ def shot_descriptors(
     k: int = 64,
     mask: Optional[jnp.ndarray] = None,
     approx: bool = False,
+    soft: bool = False,
 ) -> jnp.ndarray:
     """SHOT descriptors [M, 352] for keypoints `kp_idx` of a cloud.
 
     Invalid keypoints (padded idx) simply produce whatever histogram their
     slot-0 gather gives — callers carry the keypoint validity mask.
+
+    soft=True enables quadrilinear interpolation (azimuth wrapped,
+    elevation/radial/cosine clamped) — each neighbor spreads its weight
+    over 2^4 = 16 bins, PCL-style; this is what keeps the descriptor
+    stable when noise moves points across bin boundaries. The A/B on the
+    structured-scene generator (scripts/exp_shot_soft.py, r5) measures
+    where hard binning's matching recall collapses vs soft.
     """
     kp = points[kp_idx]  # [M, 3]
     d, idx = knn(kp, points, k=k, ref_mask=mask, exclude_self=False,
@@ -90,16 +117,48 @@ def shot_descriptors(
 
     lx, ly, lz = local[..., 0], local[..., 1], local[..., 2]
     azimuth = jnp.arctan2(ly, lx)  # [-pi, pi]
-    az_bin = jnp.clip(((azimuth + jnp.pi) / (2 * jnp.pi) * 8).astype(jnp.int32), 0, 7)
-    el_bin = (lz >= 0).astype(jnp.int32)
-    rad_bin = (d >= radius * 0.5).astype(jnp.int32)
-
+    az_c = (azimuth + jnp.pi) / (2 * jnp.pi) * 8  # [0, 8)
     cos_t = jnp.einsum("mki,mi->mk", normals[idx], lrf[:, 2, :])  # vs LRF z
-    cos_bin = jnp.clip(((cos_t + 1.0) * 0.5 * 11).astype(jnp.int32), 0, 10)
-
-    bins = ((az_bin * 2 + el_bin) * 2 + rad_bin) * 11 + cos_bin  # [M, k] in [0,352)
+    cos_c = jnp.clip((cos_t + 1.0) * 0.5, 0.0, 1.0) * 11  # [0, 11]
     M = kp.shape[0]
-    seg = (jnp.arange(M, dtype=jnp.int32)[:, None] * SHOT_DIM + bins).reshape(-1)
-    w = valid.astype(jnp.float32).reshape(-1)
-    hist = jax.ops.segment_sum(w, seg, num_segments=M * SHOT_DIM).reshape(M, SHOT_DIM)
-    return hist / jnp.maximum(jnp.linalg.norm(hist, axis=-1, keepdims=True), 1e-9)
+    row = jnp.arange(M, dtype=jnp.int32)[:, None] * SHOT_DIM  # [M, 1]
+
+    if not soft:
+        az_bin = jnp.clip(az_c.astype(jnp.int32), 0, 7)
+        el_bin = (lz >= 0).astype(jnp.int32)
+        rad_bin = (d >= radius * 0.5).astype(jnp.int32)
+        cos_bin = jnp.clip(cos_c.astype(jnp.int32), 0, 10)
+        bins = ((az_bin * 2 + el_bin) * 2 + rad_bin) * 11 + cos_bin
+        seg = (row + bins).reshape(-1)
+        w = valid.astype(jnp.float32).reshape(-1)
+        hist = jax.ops.segment_sum(
+            w, seg, num_segments=M * SHOT_DIM).reshape(M, SHOT_DIM)
+        return hist / jnp.maximum(
+            jnp.linalg.norm(hist, axis=-1, keepdims=True), 1e-9)
+
+    # Quadrilinear: continuous coordinates per axis. Elevation uses
+    # sin(elevation) = lz / d (d > 0 for all valid neighbors); radial uses
+    # d / radius — both mapped to [0, nbins).
+    dn = jnp.maximum(d, 1e-9)
+    el_c = jnp.clip((lz / dn + 1.0) * 0.5, 0.0, 1.0) * 2  # [0, 2]
+    rad_c = jnp.clip(d / radius, 0.0, 1.0) * 2            # [0, 2]
+    az_s = _soft_axis(az_c, 8, wrap=True)
+    el_s = _soft_axis(el_c, 2, wrap=False)
+    rad_s = _soft_axis(rad_c, 2, wrap=False)
+    cos_s = _soft_axis(jnp.minimum(cos_c, 11.0 - 1e-4), 11, wrap=False)
+
+    w0 = valid.astype(jnp.float32)
+    segs, ws = [], []
+    for az_i, az_w in az_s:
+        for el_i, el_w in el_s:
+            for rad_i, rad_w in rad_s:
+                for cos_i, cos_w in cos_s:
+                    bins = ((az_i * 2 + el_i) * 2 + rad_i) * 11 + cos_i
+                    segs.append((row + bins).reshape(-1))
+                    ws.append((w0 * az_w * el_w * rad_w * cos_w).reshape(-1))
+    seg = jnp.concatenate(segs)
+    w = jnp.concatenate(ws)
+    hist = jax.ops.segment_sum(
+        w, seg, num_segments=M * SHOT_DIM).reshape(M, SHOT_DIM)
+    return hist / jnp.maximum(
+        jnp.linalg.norm(hist, axis=-1, keepdims=True), 1e-9)
