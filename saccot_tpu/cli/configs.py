@@ -30,6 +30,7 @@ class RunConfig:
     seed: int = 0
     # sweep/correspondence-level
     n_pairs: int = 16
+    n_views: int = 10             # u3m all-pairs: views per model
     n_corr: int = 1000
     outlier_ratio: float = 0.8
     noise: float = 0.004
@@ -75,13 +76,17 @@ CONFIGS = {
         pipeline=_PIPE, rot_thresh_deg=5.0, trans_thresh=0.05,
     ),
     "u3m": RunConfig(
-        name="u3m", kind="pipeline", seed=100, n_pairs=12, n_points=4096,
+        name="u3m", kind="u3m", seed=100, n_points=4096,
         pipeline=_PIPE, rot_thresh_deg=5.0, trans_thresh=0.05,
         use_model_rmse=True, rmse_mult=5.0,
-        # U3M views share only partial surface coverage; 0.6 makes the
-        # sweep exercise <=60%-overlap recall (VERDICT r3 next #8) instead
-        # of near-full-overlap planted pairs.
-        overlap=0.6,
+        # Full U3M semantics (r5; BASELINE.json:8): V=10 views of ONE
+        # model, the complete V(V-1)/2 = 45-pair sweep, recall aggregated
+        # over the pair list with exact per-pair overlap from the shared
+        # model indices. `overlap` is the eligibility threshold for the
+        # headline recall (pairs below it share too little surface to be
+        # registrable in principle); the runner also reports all-pairs
+        # recall and a recall-vs-overlap-band table.
+        n_views=10, overlap=0.3,
     ),
     "threedmatch": RunConfig(
         name="threedmatch", kind="sweep", seed=300, n_pairs=32, n_corr=2048,

@@ -20,8 +20,12 @@ from saccot_tpu.engine.sac_cot import register_batch
 from saccot_tpu.evaluation.metrics import (
     ate, is_registered, model_rmse, registration_error,
 )
-from saccot_tpu.features.pipeline import register_clouds
-from saccot_tpu.io.synthetic import correspondence_problem, slam_sequence, two_view_pair
+from saccot_tpu.features.pipeline import (
+    extract_scan_features, register_clouds, register_scan_features,
+)
+from saccot_tpu.io.synthetic import (
+    correspondence_problem, model_views, slam_sequence, two_view_pair,
+)
 from saccot_tpu.utils.checkpoint import SweepCheckpointer
 from saccot_tpu.utils.logging import JsonlLogger
 
@@ -218,9 +222,77 @@ def run_slam_config(cfg: RunConfig, log: Optional[JsonlLogger] = None,
     return out
 
 
+def run_u3m_allpairs_config(cfg: RunConfig, log: Optional[JsonlLogger] = None) -> Dict:
+    """Config 2, full U3M semantics: the complete V(V-1)/2 pairwise sweep
+    over one model's view set (BASELINE.json:8), recall aggregated over the
+    pair list with the model-RMSE criterion.
+
+    Views are index subsets of one shared model cloud (io/synthetic.
+    model_views), so every pair's surface overlap is exact:
+    |idx_i & idx_j| / min(|i|, |j|). Per-view features are extracted ONCE
+    and reused across the V-1 pairs each view participates in (the same
+    economy sequence mode uses). Recall is reported over all pairs AND over
+    the >= `overlap`-threshold subset (low-overlap pairs are unregistrable
+    in principle — U3M's published recalls are vs overlap bands), plus a
+    recall-vs-overlap-band table.
+    """
+    mv = model_views(seed=cfg.seed, n_views=cfg.n_views,
+                     n_points=cfg.n_points, noise=0.002)
+    V = cfg.n_views
+    pipe = dataclasses.replace(cfg.pipeline, impl=_impls(cfg)["compat_impl"])
+
+    feats = [extract_scan_features(jnp.asarray(v), pipe) for v in mv["views"]]
+    sets = [set(ix.tolist()) for ix in mv["idx"]]
+
+    bands = [(0.0, 0.2), (0.2, 0.4), (0.4, 0.6), (0.6, 1.01)]
+    band_hit = [0] * len(bands)
+    band_tot = [0] * len(bands)
+    ok_all, n_all, ok_elig, n_elig = 0, 0, 0, 0
+    times = []
+    for i in range(V):
+        for j in range(i + 1, V):
+            ov = len(sets[i] & sets[j]) / max(min(len(sets[i]), len(sets[j])), 1)
+            T_gt = mv["T"][j] @ np.linalg.inv(mv["T"][i])
+            t0 = time.time()
+            res = register_scan_features(feats[i], feats[j], pipe)
+            T = np.asarray(res.registration.T, np.float64)
+            times.append(time.time() - t0)
+            rmse = model_rmse(T, T_gt, np.asarray(mv["views"][i], np.float64))
+            hit = bool(rmse < cfg.rmse_mult * float(res.resolution))
+            n_all += 1
+            ok_all += hit
+            if ov >= cfg.overlap:
+                n_elig += 1
+                ok_elig += hit
+            for b, (lo, hi) in enumerate(bands):
+                if lo <= ov < hi:
+                    band_tot[b] += 1
+                    band_hit[b] += hit
+            if log:
+                log.log(dict(config=cfg.name, view_i=i, view_j=j,
+                             overlap=round(ov, 3), model_rmse=float(rmse),
+                             registered=hit))
+    return dict(
+        config=cfg.name, views=V, pairs=n_all,
+        recall_all_pairs=ok_all / max(n_all, 1),
+        eligible_pairs=n_elig,
+        recall=ok_elig / max(n_elig, 1),
+        overlap_threshold=cfg.overlap,
+        recall_by_overlap_band={
+            f"{lo:.1f}-{hi:.1f}": (band_hit[b] / band_tot[b] if band_tot[b] else None)
+            for b, (lo, hi) in enumerate(bands)
+        },
+        pairs_by_overlap_band={
+            f"{lo:.1f}-{hi:.1f}": band_tot[b] for b, (lo, hi) in enumerate(bands)
+        },
+        mean_wall_s=float(np.mean(times[1:])) if len(times) > 1 else times[0],
+    )
+
+
 def run_config(cfg: RunConfig, **kw) -> Dict:
     return {
         "pipeline": run_pipeline_config,
+        "u3m": run_u3m_allpairs_config,
         "sweep": run_sweep_config,
         "kitti": run_kitti_config,
         "slam": run_slam_config,
