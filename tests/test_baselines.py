@@ -132,9 +132,13 @@ def test_roofline_model_accounting():
         roofline_fraction, scoring_model,
     )
 
-    m = compat_degrees_model(n=1000, batch=32)
+    m = compat_degrees_model(n=1000, batch=32, mxu=False)
     assert m["flops"] == 25.0 * 32 * 1000 * 1000
     assert m["bytes"] == 32 * 7000 * 4.0
+    # The r5 MXU-Gram default: smaller VPU tail + an MXU term.
+    mm = compat_degrees_model(n=1000, batch=32)
+    assert mm["flops"] < m["flops"]
+    assert mm["mxu_flops"] > 0
     # O(N^2) compute vs O(N) traffic: compute-bound by orders of magnitude.
     peaks = ChipPeaks()
     r = roofline_fraction(m, measured_seconds=1e-3, peaks=peaks)
