@@ -100,6 +100,86 @@ def _worker(proc_id: int, n_proc: int, port: int) -> None:
         print("multiprocess dryrun ok", flush=True)
 
 
+def _worker4(proc_id: int, n_proc: int, port: int) -> None:
+    """4 OS processes x 2 faked devices: the corr axis SPANS process
+    boundaries and the estimator runs the RING compat path
+    (params.ring_compat -> dist/ring.degrees_ring), so the ppermute ring
+    schedule crosses processes over gloo (VERDICT r4 next #7). Results are
+    parity-checked against an unsharded single-process reference computed
+    locally from the same seeds.
+    """
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from saccot_tpu.dist.mesh import init_distributed
+
+    init_distributed(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=n_proc,
+        process_id=proc_id,
+    )
+    assert jax.process_count() == n_proc
+    assert jax.device_count() == 2 * n_proc
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    from saccot_tpu.dist.mesh import make_mesh
+    from saccot_tpu.dist.sweep import make_sweep_fn
+    from saccot_tpu.engine.sac_cot import register_batch
+    from saccot_tpu.io.synthetic import correspondence_problem
+    from saccot_tpu.utils.params import SacCotParams
+
+    # corr=4 over 8 devices: each corr group {4d, 4d+1, 4d+2, 4d+3} spans
+    # two processes (2 local devices each), so every ring hop that crosses
+    # a 2-device block is a cross-process ppermute.
+    mesh = make_mesh(pairs=2, corr=4)
+    n, B = 64, 4
+    params = SacCotParams(
+        compat_tau=0.03, min_separation=0.05, inlier_tau=0.03,
+        num_anchors=16, neighbors_per_anchor=6, max_hypotheses=32,
+        degree_block_rows=16, ring_compat=True,
+    )
+    probs = [correspondence_problem(seed=s, n=n, outlier_ratio=0.4) for s in range(B)]
+    P_all = jnp.stack([jnp.asarray(p["P"]) for p in probs])
+    Q_all = jnp.stack([jnp.asarray(p["Q"]) for p in probs])
+    mask = jnp.ones((B, n), jnp.float32)
+    P_g, Q_g, m_g = multihost_utils.host_local_array_to_global_array(
+        (P_all, Q_all, mask), mesh, (P(), P(), P())
+    )
+    sweep = make_sweep_fn(mesh, params)
+    res = sweep(P_g, Q_g, m_g)
+    jax.block_until_ready(res.T)
+    T_np = np.asarray(multihost_utils.process_allgather(res.T, tiled=True),
+                      np.float64)
+    inl = np.asarray(multihost_utils.process_allgather(res.num_inliers, tiled=True))
+
+    # Parity: unsharded local reference (ring off) from identical data.
+    import dataclasses as _dc
+    ref_params = _dc.replace(params, ring_compat=False)
+    ref = register_batch(P_all, Q_all, params=ref_params, mask=mask)
+    T_ref = np.asarray(ref.T, np.float64).reshape(T_np.shape)
+    inl_ref = np.asarray(ref.num_inliers).reshape(inl.shape)
+    assert np.allclose(T_np, T_ref, atol=1e-5), (
+        f"proc {proc_id}: ring-sharded transforms diverge from reference"
+    )
+    assert (inl == inl_ref).all(), (inl, inl_ref)
+    print(
+        f"proc {proc_id}: 4-process corr-ring sweep ok "
+        f"(mesh pairs=2 x corr=4, inliers {inl.tolist()})",
+        flush=True,
+    )
+    multihost_utils.sync_global_devices("proc4_done")
+    if proc_id == 0:
+        print("multiprocess-4 ring dryrun ok", flush=True)
+
+
 def _worker_ckpt_sweep(
     proc_id: int, n_proc: int, port: int,
     ckpt_dir: str, out_path: str, fault_after: int,
@@ -314,6 +394,23 @@ def _free_port() -> int:
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--proc":
         _worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+        return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--proc4":
+        _worker4(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+        return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--four":
+        n_proc = 4
+        port = _free_port()
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        rcs = _run_group(
+            [["--proc4", str(i), str(n_proc), str(port)] for i in range(n_proc)],
+            env,
+        )
+        if any(rcs):
+            print(f"worker exit codes: {rcs}", file=sys.stderr)
+            return 1
+        print("multiprocess-4 dryrun: all workers exited cleanly")
         return 0
     if len(sys.argv) > 1 and sys.argv[1] == "--ckpt-proc":
         _worker_ckpt_sweep(

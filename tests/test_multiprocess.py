@@ -50,3 +50,22 @@ def test_multiprocess_fault_injection():
     assert "fault-injection test ok" in out.stdout
     assert "SIGKILL self after shard 2" in out.stdout
     assert "restored from checkpoint" in out.stdout
+
+
+def test_multiprocess_four_proc_ring():
+    """4 OS processes x 2 faked devices (VERDICT r4 next #7): the corr mesh
+    axis spans process boundaries and the estimator runs the ppermute RING
+    compat path across them, parity-checked in-worker against an unsharded
+    reference."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run(
+        [sys.executable, SCRIPT, "--four"],
+        capture_output=True, text=True, timeout=540, env=env,
+    )
+    if out.returncode != 0 and "UNAVAILABLE" in out.stderr:
+        pytest.skip(f"distributed coordinator unavailable: {out.stderr[-200:]}")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "multiprocess-4 ring dryrun ok" in out.stdout
+    assert out.stdout.count("4-process corr-ring sweep ok") == 4
