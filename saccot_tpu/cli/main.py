@@ -48,6 +48,8 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--pairs", type=int, default=None, help="override pair count")
     ap.add_argument("--scans", type=int, default=None, help="override scan count (slam)")
+    ap.add_argument("--views", type=int, default=None,
+                    help="override view count (u3m all-pairs sweep)")
     ap.add_argument("--corr", type=int, default=None, help="override correspondence count")
     ap.add_argument("--log", type=str, default=None, help="JSONL per-pair log path")
     ap.add_argument("--ckpt", type=str, default=None, help="sweep checkpoint dir")
@@ -158,6 +160,8 @@ def main(argv=None) -> int:
         overrides["n_scans"] = args.scans
     if args.corr is not None:
         overrides["n_corr"] = args.corr
+    if args.views is not None:
+        overrides["n_views"] = args.views
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     if args.icp:

@@ -303,3 +303,23 @@ def test_sequence_loop_closure_mode(tmp_path):
     # it should be at least as good as raw odometry (small slack for the
     # f32 solve).
     assert out["ate_rmse_optimized"] <= out["ate_rmse"] * 1.2 + 1e-4, out
+
+
+def test_cli_u3m_allpairs_smoke():
+    """U3M all-pairs sweep (r5; BASELINE.json:8 'full pairwise registration
+    sweep'): V views of one model, all V(V-1)/2 pairs, recall over the
+    overlap-eligible subset + per-band table."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "saccot_tpu.cli.main", "u3m", "--cpu",
+         "--views", "5"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    metrics = json.loads(out.stdout.strip().splitlines()[-1])
+    assert metrics["views"] == 5
+    assert metrics["pairs"] == 10  # complete 5*4/2 pair list
+    assert metrics["eligible_pairs"] >= 4
+    assert metrics["recall"] >= 0.75, metrics
+    assert "recall_by_overlap_band" in metrics
