@@ -53,6 +53,10 @@ def main(argv=None) -> int:
     ap.add_argument("--corr", type=int, default=None, help="override correspondence count")
     ap.add_argument("--log", type=str, default=None, help="JSONL per-pair log path")
     ap.add_argument("--ckpt", type=str, default=None, help="sweep checkpoint dir")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="device batch size for the sweep configs (default 16; "
+                         "B=64 measured 3.5k pairs/s at the threedmatch point "
+                         "vs 2.1k at B=16 — r5 receipt)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--icp", action="store_true",
                     help="dense trimmed-ICP polish after the estimator "
@@ -184,6 +188,8 @@ def main(argv=None) -> int:
         kw["ckpt"] = args.ckpt
     if args.fail_after_shard is not None and cfg.kind == "sweep":
         kw["fail_after_shard"] = args.fail_after_shard
+    if args.batch is not None and cfg.kind == "sweep":
+        kw["batch"] = args.batch
 
     metrics = run_config(cfg, **kw)
     print(json.dumps(metrics))
