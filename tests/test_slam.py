@@ -539,3 +539,56 @@ def test_pgo_pcg_scales_to_hundreds_of_poses():
     ate_init = ate_rmse(np.asarray(graph.poses, np.float64), gt)
     assert ate_opt < 0.5 * ate_init, (ate_opt, ate_init)
     assert ate_opt < 0.2, ate_opt
+
+
+def test_pgo_edge_sharded_matches_single_device(eight_devices):
+    """Distributed PGO (r5): edge axis sharded over the 8-device mesh via
+    shard_map, poses replicated, one [M, 6] psum per CG step — must match
+    the single-device PCG solve near-bitwise (identical LM schedule)."""
+    from jax import shard_map
+    from jax.sharding import Mesh
+
+    graph, gt = _make_pg_problem(seed=21, M=40)
+    E = int(graph.edge_i.shape[0])
+    d = 8
+    Ep = -(-E // d) * d
+    pad = Ep - E
+
+    def padE(x, value=0.0):
+        w = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.asarray(np.pad(np.asarray(x), w, constant_values=value))
+
+    # Zero-weight identity padding edges contribute nothing to cost or
+    # normal equations.
+    gpad = PoseGraph(
+        poses=graph.poses,
+        edge_i=padE(graph.edge_i), edge_j=padE(graph.edge_j),
+        meas=jnp.concatenate(
+            [graph.meas,
+             jnp.tile(jnp.eye(4, dtype=graph.meas.dtype), (pad, 1, 1))]),
+        weight=padE(graph.weight),
+        info=None,
+    )
+    ref = optimize_pose_graph(gpad, iters=8, robust="huber", delta=3.0,
+                              solver="pcg", cg_iters=128)
+
+    mesh = Mesh(np.array(jax.devices()[:d]), ("e",))
+
+    def body(ei, ej, meas, w):
+        g = PoseGraph(poses=gpad.poses, edge_i=ei, edge_j=ej, meas=meas,
+                      weight=w, info=None)
+        return optimize_pose_graph(
+            g, iters=8, robust="huber", delta=3.0, solver="pcg",
+            cg_iters=128, axis_name="e").poses
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("e"), P("e"), P("e"), P("e")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    poses_sh = sharded(gpad.edge_i, gpad.edge_j, gpad.meas, gpad.weight)
+    np.testing.assert_allclose(
+        np.asarray(poses_sh), np.asarray(ref.poses), atol=1e-5)
+    ate_sh = ate_rmse(np.asarray(poses_sh, np.float64), gt)
+    assert ate_sh < 0.1, ate_sh
