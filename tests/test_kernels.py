@@ -321,3 +321,23 @@ def test_register_pair_pallas_large_n():
     E = np.asarray(got.T, np.float64) @ np.linalg.inv(np.asarray(ref.T, np.float64))
     assert se3np.rotation_angle_deg(E[:3, :3]) < 0.1
     assert abs(int(got.num_inliers) - int(ref.num_inliers)) <= 1
+
+
+def test_degrees_tri_matches_standard():
+    """Upper-triangle symmetric degree kernel (r5): routed when rows and
+    cols are the same arrays above the block threshold; must match the
+    two-sided kernel, with and without masks."""
+    from saccot_tpu.io.synthetic import correspondence_problem
+
+    prob = correspondence_problem(seed=9, n=2500, outlier_ratio=0.6)
+    P, Q = jnp.asarray(prob["P"]), jnp.asarray(prob["Q"])
+    d_tri = np.asarray(degrees_pallas(P, Q, P, Q, PARAMS))
+    # Distinct array objects force the two-sided kernel.
+    d_std = np.asarray(degrees_pallas(P + 0.0, Q, P, Q, PARAMS))
+    np.testing.assert_allclose(d_tri, d_std, rtol=1e-5, atol=2e-3)
+    mask = jnp.asarray((np.arange(2500) % 5 != 0).astype(np.float32))
+    d_tri_m = np.asarray(degrees_pallas(P, Q, P, Q, PARAMS,
+                                        mask_rows=mask, mask_cols=mask))
+    d_std_m = np.asarray(degrees_pallas(P + 0.0, Q, P, Q, PARAMS,
+                                        mask_rows=mask, mask_cols=mask))
+    np.testing.assert_allclose(d_tri_m, d_std_m, rtol=1e-5, atol=2e-3)
