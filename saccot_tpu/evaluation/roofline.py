@@ -62,7 +62,8 @@ FLOPS_PER_COMPAT_ENTRY = 25.0
 FLOPS_PER_SCORE_ENTRY = 28.0
 
 
-def compat_degrees_model(n: int, batch: int = 1, mxu: bool = True) -> Dict[str, float]:
+def compat_degrees_model(n: int, batch: int = 1, mxu: bool = True,
+                         symmetric: bool = False) -> Dict[str, float]:
     """FLOPs and minimum HBM traffic for one batched degree computation.
 
     Traffic is O(N) per pair: points in, degrees out — nothing quadratic
@@ -79,14 +80,17 @@ def compat_degrees_model(n: int, batch: int = 1, mxu: bool = True) -> Dict[str, 
     (gram-only 12.9 ms + tail ~10 ms ~= full 23 ms at N=50k), so treat
     max() as a hard floor and the sum as the no-overlap expectation.
     """
+    # symmetric=True models the upper-triangle kernel (r5,
+    # `_degree_kernel_mxu_tri`): each unordered pair evaluated once.
+    half = 0.5 if symmetric else 1.0
     if mxu:
         return {
-            "flops": 15.0 * batch * n * n,
-            "mxu_flops": batch * 2 * 2 * 32 * (128.0 / 32.0) * n * n,
+            "flops": 15.0 * batch * n * n * half,
+            "mxu_flops": batch * 2 * 2 * 32 * (128.0 / 32.0) * n * n * half,
             "bytes": batch * (2 * n * 64 * 2 + 2 * n * 2 * 4 + n * 4),
         }
     return {
-        "flops": FLOPS_PER_COMPAT_ENTRY * batch * n * n,
+        "flops": FLOPS_PER_COMPAT_ENTRY * batch * n * n * half,
         "bytes": batch * (2 * n * 3 + n) * 4.0,
     }
 

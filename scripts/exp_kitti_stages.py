@@ -102,7 +102,7 @@ print("\nper-stage receipts at N=%d (incremental prefixes):" % N, flush=True)
 a_, b_, t_, k_ = (params.num_anchors, params.neighbors_per_anchor,
                   max(params.per_anchor_candidates, 1), params.max_hypotheses)
 bounds_ms = [
-    stage_bound_seconds(compat_degrees_model(N)) * 1e3,
+    stage_bound_seconds(compat_degrees_model(N, symmetric=True)) * 1e3,
     stage_bound_seconds(pool_model(N, a_, b_, t_)) * 1e3,
     stage_bound_seconds(solve_model(N, k_), highest=True) * 1e3,
     stage_bound_seconds(scoring_model(N, k_)) * 1e3,
