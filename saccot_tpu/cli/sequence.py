@@ -223,7 +223,13 @@ def _close_loops(
         steps = np.linalg.norm(
             poses_np[1:, :3, 3] - poses_np[:-1, :3, 3], axis=-1
         )
-        loop_radius = 1.5 * float(np.median(steps)) if len(steps) else 1.0
+        # 5x the median step: candidates are CONFIRMED by registration, so
+        # a generous radius only costs compute (capped at max_loops), while
+        # a tight one silently misses closures once accumulated drift
+        # exceeds the step size — exactly the long-sequence regime where
+        # closures matter most (the r5 128-scan run found 0 candidates at
+        # the previous 1.5x default with ~0.5 m drift on 0.3 m steps).
+        loop_radius = 5.0 * float(np.median(steps)) if len(steps) else 1.0
     cand = propose_loop_candidates(
         poses_np, min_gap=loop_min_gap, radius=loop_radius,
         max_candidates=max_loops,
