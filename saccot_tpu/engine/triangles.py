@@ -171,7 +171,14 @@ def triangle_pool_from_points(
             i = jnp.broadcast_to(anchors[:, None], (A_, b1.shape[0]))
             j = nbr_idx[:, b1]
             k = nbr_idx[:, b2]
-            return _rank_candidates(i, j, k, cand, params, n_nodes=N)
+            dedup_done = False
+            if params.dedup_triangles:
+                dup = _mark_cross_anchor_duplicates(
+                    anchors, nbr_idx, nbr_s > 0, b1, b2)
+                cand = jnp.where(dup, -1.0, cand)
+                dedup_done = True
+            return _rank_candidates(i, j, k, cand, params, n_nodes=N,
+                                    dedup_done=dedup_done)
         # Beyond the single-block VMEM budget: stream column blocks through
         # the N-unbounded kernel (identical selection semantics, VMEM O(1)
         # in N — VERDICT r3 next #2), then score candidates from the
@@ -305,7 +312,85 @@ def _pool_from_neighbors(
     score = s_ij + s_ik + s_jk
     valid = (s_ij > 0) & (s_ik > 0) & (s_jk > 0) & (i != j) & (i != k) & (j != k)
     score = jnp.where(valid, score, -1.0)
-    return _rank_candidates(i, j, k, score, params, n_nodes=n_nodes)
+    dedup_done = False
+    if params.dedup_triangles:
+        dup = _mark_cross_anchor_duplicates(anchors, nbr_idx, nbr_s > 0, b1, b2)
+        score = jnp.where(dup, -1.0, score)
+        dedup_done = True
+    return _rank_candidates(i, j, k, score, params, n_nodes=n_nodes,
+                            dedup_done=dedup_done)
+
+
+def _mark_cross_anchor_duplicates(
+    anchors: jnp.ndarray,   # [A] anchor node ids (distinct)
+    nbr_idx: jnp.ndarray,   # [A, B] neighbor node ids per anchor
+    nbr_valid: jnp.ndarray,  # [A, B] bool: selection has positive score
+    b1: jnp.ndarray,        # [Pairs] upper-triangle template
+    b2: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sort-free exact dedup mask [A, Pairs] (r5).
+
+    A triangle {u, v, w} enters the candidate list once per VERTEX that is
+    an anchor with the other two among its valid top-B neighbors — so a
+    candidate at anchor slot `a` is a duplicate iff one of its neighbor
+    vertices is an anchor at a SMALLER slot that also generates it
+    (validity of the third edge is shared — edge scores are symmetric —
+    so only the two membership tests differ). Keeping the smallest-slot
+    generator keeps exactly one copy of every triangle: any consistent
+    copy choice yields the identical canonical-triple SET, which is all
+    the ranking consumes.
+
+    Everything is batched compares + one tiny einsum — NO sorts and NO
+    gathers (XLA TPU gathers dominated the sort-based pipeline's cost,
+    r5 receipts):
+      match[a, b, x] : neighbor (a, b) is anchor slot x
+      W[x, a]        : anchor a's node is a valid neighbor of anchor x
+      R3/V3[a, b, c] : the top-B row of slot(a,b)'s anchor, selected by
+                       the one-hot `match` contraction (node ids < 2^24,
+                       exact in f32)
+    """
+    A, B = nbr_idx.shape
+    match = (
+        (nbr_idx[:, :, None] == anchors[None, None, :]) & nbr_valid[:, :, None]
+    )  # [A, B, X]
+    matchf = match.astype(jnp.float32)
+    # W[x, a]: anchors[a] in topB(x) with positive score — the same compare
+    # tensor reduced over the neighbor slot.
+    W = jnp.any(match, axis=1)  # [X(owning anchor), A(tested anchor)]
+    xlt = (
+        jax.lax.broadcasted_iota(jnp.int32, (A, A), 1)
+        < jax.lax.broadcasted_iota(jnp.int32, (A, A), 0)
+    )  # [A(slot a), X]: x < a
+    # gate[a, b]: neighbor (a, b) is an EARLIER anchor x with anchors[a]
+    # among x's valid neighbors.
+    gatef = jnp.einsum(
+        "abx,ax->ab", matchf,
+        (xlt & W.T).astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    gate = gatef > 0.5  # [A, B]
+    # R3[a, b, c] = nbr_idx[slot(a,b), c]; V3 its validity. One-hot einsum
+    # instead of a gather (node ids exact in f32 below 2^24).
+    R3 = jnp.einsum("abx,xc->abc", matchf, nbr_idx.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST)
+    V3 = jnp.einsum("abx,xc->abc", matchf,
+                    nbr_valid.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST)
+    R3 = jnp.round(R3).astype(jnp.int32)          # [A, B, C]
+    V3ok = V3 > 0.5
+
+    # in_row[a, b, t]: nbr_idx[a, t] is a valid neighbor of slot(a,b)'s
+    # anchor — [A, B, T] via one [A, B, C, T] compare block.
+    in_row = jnp.any(
+        (R3[:, :, :, None] == nbr_idx[:, None, None, :]) & V3ok[:, :, :, None],
+        axis=2,
+    )  # [A, B(which neighbor is the anchor), T(which vertex to test)]
+
+    # Candidate (a, b1, b2): duplicate via b1 iff gate[a, b1] and vertex
+    # b2 in that anchor's row; symmetrically via b2. b1/b2 are STATIC
+    # templates, so this advanced indexing folds at trace time.
+    dup = (gate[:, b1] & in_row[:, b1, b2]) | (gate[:, b2] & in_row[:, b2, b1])
+    return dup  # [A, Pairs]
 
 
 def _rank_candidates(
@@ -315,8 +400,17 @@ def _rank_candidates(
     score: jnp.ndarray,   # [A, Pairs] candidate scores, -1 = invalid
     params: SacCotParams,
     n_nodes: Optional[int],
+    dedup_done: bool = False,
 ) -> TrianglePool:
-    """Canonicalize -> (optional dedup) -> global top-K of a candidate set."""
+    """Canonicalize -> (optional dedup) -> global top-K of a candidate set.
+
+    dedup_done=True: cross-anchor duplicates were already invalidated
+    (`_mark_cross_anchor_duplicates`), so the exact path needs NO sort at
+    all — canonical min/max network, packed-key arithmetic, one exact
+    top-K over the flat candidates, one [K] key gather, decode. This is
+    what closed the exact config's remaining gap (r5): the packed-key
+    dedup sort over all C candidates was its largest single cost.
+    """
     K = params.max_hypotheses
     Nn = n_nodes
     score = score.reshape(-1)
@@ -338,6 +432,31 @@ def _rank_candidates(
     # index columns — jnp.sort over a size-3 trailing axis lowers to a
     # relayout-heavy tiny bitonic sort, measured ~0.9 ms/batch at the
     # bench point vs ~0.1 for the 6 min/max ops (r5 receipts).
+    if dedup_done:
+        fi = i.reshape(-1).astype(jnp.int32)
+        fj = j.reshape(-1).astype(jnp.int32)
+        fk = k.reshape(-1).astype(jnp.int32)
+        a0 = jnp.minimum(fi, fj)
+        b0 = jnp.maximum(fi, fj)
+        lo2 = jnp.minimum(b0, fk)
+        hi = jnp.maximum(b0, fk)
+        lo = jnp.minimum(a0, lo2)
+        mid = jnp.maximum(a0, lo2)
+        top_s, top_i = _topk_fn(score, params)
+        if Nn is not None and Nn <= _PACK1_MAX_NODES:
+            key = (lo * Nn + mid) * Nn + hi
+            keysel = key[top_i]
+            rem = keysel % (Nn * Nn)
+            tri_cols = (keysel // (Nn * Nn), rem // Nn, rem % Nn)
+        elif Nn is not None and Nn <= _PACK2_MAX_NODES:
+            kjk = mid * Nn + hi
+            losel = lo[top_i]
+            kjksel = kjk[top_i]
+            tri_cols = (losel, kjksel // Nn, kjksel % Nn)
+        else:
+            tri_cols = (lo[top_i], mid[top_i], hi[top_i])
+        return _pool_from_selected(tri_cols, top_s, params)
+
     fi = i.reshape(-1).astype(jnp.int32)
     fj = j.reshape(-1).astype(jnp.int32)
     fk = k.reshape(-1).astype(jnp.int32)
