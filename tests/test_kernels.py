@@ -341,3 +341,23 @@ def test_degrees_tri_matches_standard():
     d_std_m = np.asarray(degrees_pallas(P + 0.0, Q, P, Q, PARAMS,
                                         mask_rows=mask, mask_cols=mask))
     np.testing.assert_allclose(d_tri_m, d_std_m, rtol=1e-5, atol=2e-3)
+
+
+def test_degrees_tri_vmap_no_scratch_leak():
+    """The tri kernel's whole-row VMEM scratch must reset per batch
+    element under vmap (identical elements -> identical results; batch
+    order must not matter)."""
+    from saccot_tpu.io.synthetic import correspondence_problem
+
+    probs = [correspondence_problem(seed=s, n=2500, outlier_ratio=0.6)
+             for s in range(2)]
+    P = jnp.stack([jnp.asarray(p["P"]) for p in probs])
+    Q = jnp.stack([jnp.asarray(p["Q"]) for p in probs])
+    fn = jax.jit(jax.vmap(lambda p, q: degrees_pallas(p, q, p, q, PARAMS)))
+    d_fwd = np.asarray(fn(P, Q))
+    d_rev = np.asarray(fn(P[::-1], Q[::-1]))[::-1]
+    np.testing.assert_array_equal(d_fwd, d_rev)
+    P2 = jnp.stack([P[0], P[0]])
+    Q2 = jnp.stack([Q[0], Q[0]])
+    d2 = np.asarray(fn(P2, Q2))
+    np.testing.assert_array_equal(d2[0], d2[1])
