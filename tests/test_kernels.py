@@ -351,6 +351,8 @@ def test_degrees_tri_vmap_no_scratch_leak():
 
     probs = [correspondence_problem(seed=s, n=2500, outlier_ratio=0.6)
              for s in range(2)]
+    import jax
+
     P = jnp.stack([jnp.asarray(p["P"]) for p in probs])
     Q = jnp.stack([jnp.asarray(p["Q"]) for p in probs])
     fn = jax.jit(jax.vmap(lambda p, q: degrees_pallas(p, q, p, q, PARAMS)))
