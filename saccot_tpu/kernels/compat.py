@@ -8,13 +8,23 @@ rigidity test, the score, masking, and the row reduction happen in VMEM
 tile by tile; HBM traffic is O(N) points in, O(N) degrees out, nothing
 quadratic ever leaves the chip.
 
-Layout: points are passed coordinate-major ([3, N], lane dim = points) so
-column tiles hit the (8, 128) f32 tiling natively; distances use the direct
-(a-b)^2 form on the VPU (better numerics than the Gram trick, and the
-3-wide contraction would waste the MXU anyway).
+Three kernels share the contract (the wrapper routes):
+
+  _degree_kernel          — direct (a-b)^2 VPU form (r1-r4 default; kept as
+                            the parity reference and `mxu=False` path).
+  _degree_kernel_mxu      — r5 default: the distance multiply-accumulates
+                            ride the MXU as exact split-bf16 Gram dots with
+                            centered coordinates; ~1.7x at N=50k.
+  _degree_kernel_mxu_tri  — symmetric full-matrix case (rows == cols): the
+                            strictly-upper triangle is evaluated once with
+                            row+col sums accumulated in a whole-row VMEM
+                            scratch and sub-diagonal blocks skipped;
+                            another ~1.5x at N=50k (42.0 -> 18.9 ms/pair
+                            across the r5 compat work).
 
 Grid: (row_tiles, col_tiles), col innermost; the [1, TR] output block stays
-resident across the column sweep and accumulates.
+resident across the column sweep and accumulates (the tri kernel instead
+carries the scratch accumulator across the whole grid).
 """
 
 from __future__ import annotations
