@@ -457,77 +457,17 @@ def _rank_candidates(
             tri_cols = (lo[top_i], mid[top_i], hi[top_i])
         return _pool_from_selected(tri_cols, top_s, params)
 
-    fi = i.reshape(-1).astype(jnp.int32)
-    fj = j.reshape(-1).astype(jnp.int32)
-    fk = k.reshape(-1).astype(jnp.int32)
-    a0 = jnp.minimum(fi, fj)
-    b0 = jnp.maximum(fi, fj)
-    lo2 = jnp.minimum(b0, fk)
-    hi = jnp.maximum(b0, fk)
-    lo = jnp.minimum(a0, lo2)
-    mid = jnp.maximum(a0, lo2)
-
-    # Lexicographic de-dup WITHOUT a top-3K score prefilter: r5 receipts
-    # (scripts/exp_exact_breakdown.py method) showed the exact
-    # top_k(C -> 3K) prefilter costs ~4 ms/batch — more than sorting the
-    # WHOLE candidate list once — and gathering tri[keep] through the
-    # prefilter's indices costs more still. So: pack the canonical triple
-    # into as few int32 keys as the node range allows, ONE stable sort of
-    # (keys..., score) over all C candidates, adjacent-equality dedup, and
-    # a final exact top-K. Invalid candidates (score <= 0) get a sentinel
-    # key above every real key so they can never sort adjacent to a real
-    # triangle and absorb its first-copy slot (their score is -1, so they
-    # lose the final top-K regardless). All copies of one triangle carry
-    # an identical score — edge scores are symmetric functions of the
-    # points — so keeping the first sorted copy is exact.
-    Nn = n_nodes
-    invalid = score <= 0.0
-    if Nn is not None and Nn <= _PACK1_MAX_NODES:
-        key = (lo * Nn + mid) * Nn + hi
-        key = jnp.where(invalid, jnp.int32(2147483647), key)
-        key, ss = lax.sort((key, score), num_keys=1)
-        dup = jnp.concatenate(
-            [jnp.zeros((1,), dtype=bool), key[1:] == key[:-1]]
-        )
-        ss = jnp.where(dup, -1.0, ss)
-        # Select BEFORE decoding: one [K]-gather of the packed key instead
-        # of three decoded-column gathers (XLA TPU gathers dominate this
-        # tail — r5 receipts).
-        top_s, top_i = _topk_fn(ss, params)
-        keysel = jnp.minimum(key[top_i], Nn * Nn * Nn - 1)
-        rem = keysel % (Nn * Nn)
-        tri_cols = (keysel // (Nn * Nn), rem // Nn, rem % Nn)
-        return _pool_from_selected(tri_cols, top_s, params)
-    elif Nn is not None and Nn <= _PACK2_MAX_NODES:
-        kjk = mid * Nn + hi
-        silo = jnp.where(invalid, jnp.int32(2147483647), lo)
-        si, kjk, ss = lax.sort((silo, kjk, score), num_keys=2)
-        dup = jnp.concatenate(
-            [
-                jnp.zeros((1,), dtype=bool),
-                (si[1:] == si[:-1]) & (kjk[1:] == kjk[:-1]),
-            ]
-        )
-        ss = jnp.where(dup, -1.0, ss)
-        top_s, top_i = _topk_fn(ss, params)
-        sisel = jnp.minimum(si[top_i], Nn - 1)
-        kjksel = kjk[top_i]
-        tri_cols = (sisel, kjksel // Nn, kjksel % Nn)
-        return _pool_from_selected(tri_cols, top_s, params)
-    else:
-        silo = jnp.where(invalid, jnp.int32(2147483647), lo)
-        si, sj, sk, ss = lax.sort((silo, mid, hi, score), num_keys=3)
-        dup = jnp.concatenate(
-            [
-                jnp.zeros((1,), dtype=bool),
-                (si[1:] == si[:-1]) & (sj[1:] == sj[:-1]) & (sk[1:] == sk[:-1]),
-            ]
-        )
-        ss = jnp.where(dup, -1.0, ss)
-        if Nn is not None:
-            si = jnp.minimum(si, Nn - 1)
-        tri_cols = (si, sj, sk)
-    return _select_topk(tri_cols, ss, params)
+    # The r4/r5 sort-based dedup pipeline (canonical packed-key stable
+    # sort + adjacent-equality invalidation) was removed once both callers
+    # switched to the sort-free cross-anchor membership dedup — see
+    # _mark_cross_anchor_duplicates and git history for the receipts that
+    # drove the replacement (the sort was the exact config's largest
+    # single cost).
+    raise ValueError(
+        "dedup_triangles=True requires the caller to invalidate cross-"
+        "anchor duplicates (_mark_cross_anchor_duplicates) and pass "
+        "dedup_done=True"
+    )
 
 
 def _pool_from_preranked(
