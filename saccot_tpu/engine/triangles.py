@@ -14,8 +14,11 @@ contract:
   3. candidate triangles = anchor + every pair of its selected neighbors,
      scored s_ij + s_ik + s_jk and validated (all three edges present,
      indices distinct);
-  4. canonicalize (sorted triple), lexicographic de-duplication, and a
-     global top-`max_hypotheses` by score.
+  4. de-duplicate (sort-free cross-anchor membership test — a triangle
+     appears once per vertex that is an anchor holding the other two in
+     its top-B; the smallest-slot copy is kept), canonicalize via a
+     min/max network, and select the global top-`max_hypotheses` by
+     score (exact via approx_max_k at recall_target=1.0).
 
 With num_anchors >= N and neighbors_per_anchor >= N-1 the candidate set is a
 superset of the exhaustive clique enumeration, so ranked truncation matches
